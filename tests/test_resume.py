@@ -1,0 +1,76 @@
+"""Partition-granular resume: a killed job's second invocation recomputes
+only missing partitions and converges to the same bytes (north rule;
+analog of the reference's idempotent per-page rewrite,
+``segment_from_point_clusters.py:372-373``)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from win64_local_ocr_tool_spark.corpus import corpus_df
+from win64_local_ocr_tool_spark.golden import golden_pandas
+from win64_local_ocr_tool_spark.lineage import with_partition_key
+from win64_local_ocr_tool_spark.pipeline import run_extraction
+
+N = 600
+N_BUCKETS = 16
+
+
+def test_resume_completes_without_recompute(spark, tmp_path):
+    out = str(tmp_path / "extracted")
+    lin = str(tmp_path / "lineage")
+    docs = corpus_df(spark, N)
+
+    # --- simulated partial run: only half the partition keyspace ---
+    partial = with_partition_key(docs, N_BUCKETS).filter(
+        F.col("partition_key") < 8
+    ).drop("partition_key")
+    s1 = run_extraction(
+        spark, partial, out_dir=out, lineage_dir=lin, n_buckets=N_BUCKETS
+    )
+    assert s1["n_partitions"] == 8
+    n_first = s1["n_docs"]
+    assert 0 < n_first < N
+
+    # --- resumed full run ---
+    s2 = run_extraction(
+        spark, docs, out_dir=out, lineage_dir=lin, n_buckets=N_BUCKETS,
+        resume=True,
+    )
+    # only the missing half was processed
+    assert s2["pruned_partitions"] == 8
+    assert s2["n_partitions"] == 8
+    assert n_first + s2["n_docs"] == N
+
+    # lineage: every bucket done exactly once (no recompute)
+    lineage = spark.read.parquet(lin).toPandas()
+    done = lineage[lineage["status"] == "done"]
+    assert sorted(done["partition_key"].tolist()) == list(range(N_BUCKETS))
+    assert done["partition_key"].is_unique
+
+    # converged output == golden, byte-identical
+    got = (
+        spark.read.parquet(out)
+        .select("url", "status", "extracted_text", "lang")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        golden_pandas(N)[["url", "status", "extracted_text", "lang"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rerun_of_done_partition_is_idempotent(spark, tmp_path):
+    """Re-running WITHOUT resume overwrites partitions in place
+    (dynamic partition overwrite) and yields the same bytes."""
+    out = str(tmp_path / "extracted")
+    docs = corpus_df(spark, 200)
+    run_extraction(spark, docs, out_dir=out, n_buckets=8)
+    first = spark.read.parquet(out).toPandas().sort_values("url")
+    run_extraction(spark, docs, out_dir=out, n_buckets=8)
+    second = spark.read.parquet(out).toPandas().sort_values("url")
+    assert (first["extracted_text"].values == second["extracted_text"].values).all()
+    assert len(first) == len(second) == 200

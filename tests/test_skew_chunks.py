@@ -1,0 +1,57 @@
+"""Skew path: mega-page chunk split/reassembly preserves span offsets
+across chunk boundaries (SURVEY.md §7.5 item 3 — the classic off-by-one
+lives at the boundary; test chunk sizes around it)."""
+
+import pytest
+
+from win64_local_ocr_tool_spark.corpus import corpus_df, gen_row
+from win64_local_ocr_tool_spark.kernels.assemble import extract_document
+from win64_local_ocr_tool_spark.operators.extract import extract_all, extract_mega
+
+MEGA_I = 997  # first mega row in the corpus
+
+
+@pytest.mark.parametrize("chunk_blocks", [1, 2, 3, 7, 199, 200, 201, 10_000])
+def test_mega_chunk_sizes_boundary(spark, chunk_blocks):
+    row = gen_row(MEGA_I)
+    want = extract_document(row["html"])
+
+    docs = spark.createDataFrame(
+        [(row["url"], row["html"])], schema="url string, html binary"
+    )
+    got = extract_mega(docs, chunk_blocks=chunk_blocks).collect()[0]
+
+    assert got["extracted_text"] == want["extracted_text"]
+    assert got["lang"] == want["lang"]
+    assert got["status"] == want["status"]
+    got_spans = [
+        (s["span_id"], s["char_start"], s["char_end"]) for s in got["spans"]
+    ]
+    assert got_spans == want["spans"]
+    # offsets really slice the text
+    for sid, a, b in got_spans:
+        assert got["extracted_text"][a:b] + "\n" == got["extracted_text"][a : b + 1]
+
+
+def test_mega_path_handles_pdf_and_corrupt(spark):
+    """Payload-type dispatch inside the skew path: PDF and corrupt rows
+    routed through it still behave (single chunk / error row)."""
+    rows = [gen_row(i) for i in (211, 499, 1)]
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], schema="url string, html binary"
+    )
+    got = {r["url"]: r for r in extract_mega(docs, chunk_blocks=3).collect()}
+    for r in rows:
+        want = extract_document(r["html"])
+        g = got[r["url"]]
+        assert g["status"] == want["status"]
+        assert g["extracted_text"] == want["extracted_text"]
+        assert g["lang"] == want["lang"]
+
+
+def test_dispatch_routes_by_size(spark):
+    """extract_all: the union of both paths covers every input exactly once."""
+    docs = corpus_df(spark, 1100)
+    out = extract_all(docs, mega_bytes=65536)
+    assert out.count() == 1100
+    assert out.select("url").distinct().count() == 1100

@@ -1,0 +1,114 @@
+"""Per-partition lineage + counters, and partition-granular resume.
+
+Analog of the reference's SQLite logs (``models.py:12-30`` — one row per
+extracted line, committed per page) lifted to partition granularity, per
+the north rule: every stage appends (stage, partition_key, n_rows,
+n_errors, wall_ms, status, ts) to an append-only checkpoint table; a
+restarted job left-anti joins the done keys and recomputes only the
+missing partitions.
+
+Sandbox note: the runtime has no Iceberg catalog jars, so the checkpoint
+table is parquet-append with the same semantics (append-only; readers
+take the union of runs; a partition is "done" iff any run logged it
+done). Stage OUTPUT idempotence comes from dynamic partition overwrite
+keyed by the deterministic ``partition_key`` (the analog of the
+reference's rm-then-rewrite per page, ``segment_from_point_clusters.py:
+372-373``) — re-running a partition replaces exactly its directory.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = (
+    "stage string, partition_key int, n_rows long, n_errors long, "
+    "wall_ms long, status string, run_id string, ts timestamp"
+)
+
+
+def with_partition_key(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    """Deterministic partition key: pmod(xxhash64(key), n_buckets).
+
+    Hash-of-url is uniform (no hot buckets from crawl-order skew) and
+    stable across runs/cluster sizes — the property resume depends on.
+    """
+    return df.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    if not os.path.isdir(lineage_dir) or not any(
+        f.endswith(".parquet") for f in _walk_files(lineage_dir)
+    ):
+        return None
+    return spark.read.parquet(lineage_dir)
+
+
+def _walk_files(d: str):
+    for root, _dirs, files in os.walk(d):
+        yield from files
+
+
+def done_keys(spark: SparkSession, lineage_dir: str, stage: str) -> DataFrame | None:
+    lin = read_lineage(spark, lineage_dir)
+    if lin is None:
+        return None
+    return (
+        lin.filter((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("partition_key")
+        .distinct()
+    )
+
+
+def prune_done(
+    df: DataFrame, spark: SparkSession, lineage_dir: str, stage: str
+) -> tuple[DataFrame, int]:
+    """Resume: drop rows whose partition_key is already done.
+
+    Left-anti join against the (tiny, broadcast) done-key set — the
+    U5/J5 operator from SURVEY.md §2.
+    """
+    done = done_keys(spark, lineage_dir, stage)
+    if done is None:
+        return df, 0
+    n_done = done.count()
+    if n_done == 0:
+        return df, 0
+    return (
+        df.join(F.broadcast(done), "partition_key", "left_anti"),
+        n_done,
+    )
+
+
+def append_lineage(
+    spark: SparkSession,
+    lineage_dir: str,
+    stage: str,
+    per_key_counts: DataFrame,
+    wall_ms: int,
+    run_id: str | None = None,
+) -> None:
+    """Append one done-row per processed partition_key.
+
+    ``per_key_counts``: DataFrame(partition_key int, n_rows long,
+    n_errors long). ``wall_ms`` is the stage wall-clock (per-stage, not
+    per-partition — local mode has no per-task clock worth logging).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    rows = (
+        per_key_counts.withColumn("stage", F.lit(stage))
+        .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+        .withColumn("status", F.lit("done"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("ts", F.current_timestamp())
+        .select(
+            "stage", "partition_key", "n_rows", "n_errors",
+            "wall_ms", "status", "run_id", "ts",
+        )
+    )
+    rows.write.mode("append").parquet(lineage_dir)

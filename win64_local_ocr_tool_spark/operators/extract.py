@@ -1,0 +1,327 @@
+"""Extraction operators: the Spark restatement of the reference pipeline.
+
+Two physical paths over the same kernels (SURVEY.md §3.1 restatement):
+
+- **normal path** — one ``mapInPandas`` pass per document batch:
+  payload -> tokenize -> classify -> assemble, document-local, ZERO
+  shuffle. This is what makes the job embarrassingly parallel at
+  10^12-doc scale: the plan is scan -> project -> mapInPandas -> write.
+
+- **mega path** (explicit skew handling, SURVEY.md P11 / F7, analog of
+  tall-box splitting ``segment_old_method.py:23-37``) — oversized
+  documents are tokenized into their block stream, split into
+  fixed-size block chunks with a 1-block halo, classified+assembled
+  per chunk in parallel, then reassembled RELATIONALLY: window
+  cumulative sums give each chunk its char/span offset base, so the
+  result is byte-identical to the single-pass path (halo proof in
+  ``kernels/classify.py``; property-tested).
+
+Only text/struct logic crosses the relational boundary — floats never
+feed ``extracted_text`` (SURVEY.md §7.5 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..kernels.assemble import (
+    extract_document,
+    spans_from_flags,
+    tokenize_payload,
+)
+from ..kernels.classify import classify_chunk
+from ..kernels.htmlblocks import Block
+from ..kernels.langid import COUNT_FIELDS, lang_counts, lang_from_counts
+
+SPAN_STRUCT = "array<struct<span_id:int,char_start:int,char_end:int>>"
+
+EXTRACTED_SCHEMA = (
+    "url string, status string, extracted_text string, "
+    f"spans {SPAN_STRUCT}, lang string"
+)
+
+_BLOCK_STRUCT = (
+    "struct<block_id:int,tag:string,depth:int,pos:int,"
+    "text:string,text_len:int,link_text_len:int>"
+)
+
+CHUNKS_SCHEMA = (
+    "url string, chunk_id int, kind string, "
+    f"blocks array<{_BLOCK_STRUCT}>, "
+    f"left_halo {_BLOCK_STRUCT}, right_halo {_BLOCK_STRUCT}"
+)
+
+_COUNTS_SQL = ", ".join(f"{f} long" for f in COUNT_FIELDS)
+CHUNK_SPANS_SCHEMA = (
+    "url string, chunk_id int, kind string, chunk_text string, "
+    f"chunk_chars long, n_spans long, spans {SPAN_STRUCT}, {_COUNTS_SQL}"
+)
+
+
+def _spans_records(spans: list[tuple[int, int, int]]) -> list[dict]:
+    return [
+        {"span_id": s, "char_start": a, "char_end": b} for (s, a, b) in spans
+    ]
+
+
+# --------------------------------------------------------------------------
+# normal path
+# --------------------------------------------------------------------------
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: whole-document extraction per batch.
+
+    Iterator form so any per-executor heavy init (the analog of the
+    one-time model load, reference ``segment_graph.py:73-76``) happens
+    once per task, not per batch.
+    """
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        out = {
+            "url": urls,
+            "status": [],
+            "extracted_text": [],
+            "spans": [],
+            "lang": [],
+        }
+        for payload in pdf["html"]:
+            res = extract_document(bytes(payload))
+            out["status"].append(res["status"])
+            out["extracted_text"].append(res["extracted_text"])
+            out["spans"].append(_spans_records(res["spans"]))
+            out["lang"].append(res["lang"])
+        yield pd.DataFrame(out)
+
+
+def extract_normal(docs: DataFrame) -> DataFrame:
+    """Zero-shuffle extraction of regular-size documents."""
+    return docs.select("url", "html").mapInPandas(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# mega path: tokenize -> chunk -> classify -> relational reassembly
+# --------------------------------------------------------------------------
+
+def _block_rec(b: Block) -> dict:
+    return {
+        "block_id": b.block_id,
+        "tag": b.tag,
+        "depth": b.depth,
+        "pos": b.pos,
+        "text": b.text,
+        "text_len": b.text_len,
+        "link_text_len": b.link_text_len,
+    }
+
+
+def _rec_block(r) -> Block:
+    return Block(
+        block_id=int(r["block_id"]),
+        tag=r["tag"],
+        depth=int(r["depth"]),
+        pos=int(r["pos"]),
+        text=r["text"],
+        text_len=int(r["text_len"]),
+        link_text_len=int(r["link_text_len"]),
+    )
+
+
+def make_chunker(chunk_blocks: int):
+    def tokenize_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                kind, blocks = tokenize_payload(bytes(payload))
+                recs = [_block_rec(b) for b in blocks]
+                if kind != "html":
+                    # PDF/corrupt payloads are never block-split: one chunk.
+                    rows.append(
+                        {
+                            "url": url,
+                            "chunk_id": 0,
+                            "kind": kind,
+                            "blocks": recs,
+                            "left_halo": None,
+                            "right_halo": None,
+                        }
+                    )
+                    continue
+                n = len(recs)
+                for cid, start in enumerate(range(0, max(n, 1), chunk_blocks)):
+                    core = recs[start : start + chunk_blocks]
+                    rows.append(
+                        {
+                            "url": url,
+                            "chunk_id": cid,
+                            "kind": kind,
+                            "blocks": core,
+                            "left_halo": recs[start - 1] if start > 0 else None,
+                            "right_halo": (
+                                recs[start + chunk_blocks]
+                                if start + chunk_blocks < n
+                                else None
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "chunk_id", "kind", "blocks", "left_halo", "right_halo",
+                ],
+            )
+
+    return tokenize_chunks
+
+
+def classify_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-chunk classification + chunk-local span assembly."""
+    for pdf in batches:
+        rows = []
+        for _, r in pdf.iterrows():
+            blocks = [_rec_block(br) for br in r["blocks"]]
+            kind = r["kind"]
+            if kind == "pdf":
+                flags = [True] * len(blocks)
+            elif kind == "error":
+                flags = [False] * len(blocks)
+            else:
+                lh = _rec_block(r["left_halo"]) if r["left_halo"] is not None else None
+                rh = (
+                    _rec_block(r["right_halo"])
+                    if r["right_halo"] is not None
+                    else None
+                )
+                flags = classify_chunk(blocks, lh, rh)
+            text, spans = spans_from_flags(blocks, flags)
+            counts = lang_counts(text)
+            rows.append(
+                {
+                    "url": r["url"],
+                    "chunk_id": int(r["chunk_id"]),
+                    "kind": kind,
+                    "chunk_text": text,
+                    "chunk_chars": len(text),
+                    "n_spans": len(spans),
+                    "spans": _spans_records(spans),
+                    **dict(zip(COUNT_FIELDS, counts)),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "chunk_id", "kind", "chunk_text", "chunk_chars",
+                "n_spans", "spans", *COUNT_FIELDS,
+            ],
+        )
+
+
+def _lang_from_counts_udf():
+    # built lazily: pandas_udf parses its DDL against the active session
+    @F.pandas_udf("string")
+    def udf(counts: pd.DataFrame) -> pd.Series:
+        return counts.apply(
+            lambda r: lang_from_counts(tuple(r[f] for f in COUNT_FIELDS)), axis=1
+        )
+
+    return udf
+
+
+def extract_mega(docs: DataFrame, *, chunk_blocks: int = 200) -> DataFrame:
+    """Skew path: chunked extraction of oversized documents.
+
+    Shuffles only the (rare) mega rows, and only their *derived text*,
+    never the raw payload twice: tokenize -> chunk rows -> repartition by
+    (url, chunk_id) so one giant document fans out across the cluster ->
+    classify per chunk -> window offsets -> groupBy(url) reassembly.
+    """
+    spark = docs.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    chunks = (
+        docs.select("url", "html")
+        .mapInPandas(make_chunker(chunk_blocks), schema=CHUNKS_SCHEMA)
+        .repartition(n_shuffle, "url", "chunk_id")
+    )
+    cspans = chunks.mapInPandas(classify_chunk_batches, schema=CHUNK_SPANS_SCHEMA)
+
+    w = (
+        Window.partitionBy("url")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    based = cspans.withColumn(
+        "base_chars", F.coalesce(F.sum("chunk_chars").over(w), F.lit(0))
+    ).withColumn(
+        "base_spans", F.coalesce(F.sum("n_spans").over(w), F.lit(0))
+    )
+    adjusted = based.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                (s["span_id"] + F.col("base_spans")).cast("int").alias("span_id"),
+                (s["char_start"] + F.col("base_chars")).cast("int").alias("char_start"),
+                (s["char_end"] + F.col("base_chars")).cast("int").alias("char_end"),
+            ),
+        ),
+    )
+
+    count_sums = [F.sum(f).alias(f) for f in COUNT_FIELDS]
+    doc = (
+        adjusted.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda c: c["chunk_text"],
+                ),
+                "",
+            ).alias("extracted_text"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "spans"))),
+                    lambda c: c["spans"],
+                )
+            ).alias("spans"),
+            F.max("kind").alias("kind"),
+            *count_sums,
+        )
+    )
+    return doc.select(
+        "url",
+        F.when(F.col("kind") == "error", F.lit("error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        "extracted_text",
+        "spans",
+        _lang_from_counts_udf()(F.struct(*COUNT_FIELDS)).alias("lang"),
+    )
+
+
+def extract_all(
+    docs: DataFrame,
+    *,
+    mega_bytes: int = 65536,
+    chunk_blocks: int = 200,
+) -> DataFrame:
+    """Dispatch normal vs mega documents by payload size and union.
+
+    ``length(html) >= mega_bytes`` routes through the chunked skew path.
+    The predicate is evaluated at scan time, so each path reads only its
+    rows; the mega side is a tiny fraction by design.
+    """
+    is_mega = F.length(F.col("html")) >= F.lit(mega_bytes)
+    normal = extract_normal(docs.filter(~is_mega))
+    mega = extract_mega(docs.filter(is_mega), chunk_blocks=chunk_blocks)
+    return normal.unionByName(mega)

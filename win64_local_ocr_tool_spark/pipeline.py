@@ -1,0 +1,122 @@
+"""End-to-end extraction job: documents -> extracted (+ lineage, resume).
+
+The Spark restatement of the reference's flagship flow
+(``POST /upload-manuscript``, SURVEY.md §3.1):
+
+    documents ──(mega? no)──> mapInPandas(extract)            ─┐
+              └─(mega? yes)─> chunk -> classify -> reassemble ─┴> extracted
+    extracted ── write parquet partitioned by partition_key (dynamic
+                 overwrite = idempotent per-partition rerun)
+              ── lineage append: (stage, partition_key, n_rows,
+                 n_errors, wall_ms, 'done', run_id, ts)
+
+Resume: a fresh invocation with ``resume=True`` left-anti joins the
+lineage done-keys and recomputes only missing partitions; output
+idempotence comes from partition-directory overwrite.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lineage import append_lineage, prune_done, with_partition_key
+from .operators.extract import extract_all
+
+STAGE_EXTRACT = "extract"
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    out_dir: str | None = None,
+    lineage_dir: str | None = None,
+    resume: bool = False,
+    n_buckets: int = 64,
+    mega_bytes: int = 65536,
+    chunk_blocks: int = 200,
+    run_id: str | None = None,
+) -> dict:
+    """Run the extraction pipeline.
+
+    With ``out_dir`` set, writes the extracted table partitioned by
+    ``partition_key`` and appends lineage; returns stats. Without it,
+    returns the lazy extracted DataFrame (no materialization) — the
+    driver-contract path.
+    """
+    docs = with_partition_key(docs, n_buckets)
+
+    n_pruned = 0
+    if resume and lineage_dir:
+        docs, n_pruned = prune_done(docs, spark, lineage_dir, STAGE_EXTRACT)
+
+    extracted = extract_all(
+        docs.select("partition_key", "url", "html"),
+        mega_bytes=mega_bytes,
+        chunk_blocks=chunk_blocks,
+    )
+    # extract_all consumes (url, html); re-attach the key derivably (no
+    # join needed — the key is a pure function of url).
+    extracted = with_partition_key(extracted, n_buckets)
+
+    if out_dir is None:
+        return {"extracted": extracted, "pruned_partitions": n_pruned}
+
+    t0 = time.monotonic()
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("partition_key")
+        .parquet(out_dir)
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    # Per-partition counters from the just-written columnar output: a
+    # cheap scan of two thin columns, never the text. Explicit schema:
+    # an empty run writes no parquet footers to infer from.
+    from .operators.extract import EXTRACTED_SCHEMA
+
+    written = spark.read.schema(
+        EXTRACTED_SCHEMA + ", partition_key int"
+    ).parquet(out_dir)
+    if resume and lineage_dir:
+        # only the partitions processed in THIS run
+        from .lineage import done_keys
+
+        done = done_keys(spark, lineage_dir, STAGE_EXTRACT)
+        if done is not None:
+            written = written.join(
+                F.broadcast(done), "partition_key", "left_anti"
+            )
+    per_key = written.groupBy("partition_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
+    )
+
+    n_docs = 0
+    n_errors = 0
+    n_parts = 0
+    rows = per_key.collect()
+    for r in rows:
+        n_parts += 1
+        n_docs += r["n_rows"]
+        n_errors += r["n_errors"]
+
+    if lineage_dir:
+        per_key_df = spark.createDataFrame(
+            rows, schema="partition_key int, n_rows long, n_errors long"
+        ) if rows else None
+        if per_key_df is not None:
+            append_lineage(
+                spark, lineage_dir, STAGE_EXTRACT, per_key_df, wall_ms, run_id
+            )
+
+    return {
+        "out_dir": out_dir,
+        "n_docs": int(n_docs),
+        "n_errors": int(n_errors),
+        "n_partitions": n_parts,
+        "pruned_partitions": n_pruned,
+        "wall_ms": wall_ms,
+    }
