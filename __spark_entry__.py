@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction end-to-end; ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+training-data ops) as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each SQL-expressible one.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Importing the operator modules populates the registry.
+from win64_local_ocr_tool_spark.operators import (  # noqa: F401,E402
+    relational,
+    similarity,
+    textops,
+)
+from win64_local_ocr_tool_spark.operators.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline over the deterministic
+    synthetic corpus (north-rule input shape: url, warc_ts, html binary,
+    text, lang — synthesized in-Spark, no external data), both physical
+    paths exercised. Returns the extracted table."""
+    from win64_local_ocr_tool_spark.corpus import corpus_df
+    from win64_local_ocr_tool_spark.pipeline import run_extraction
+
+    docs = corpus_df(spark, 1100)  # covers normal/PDF/corrupt/mega rows
+    return run_extraction(spark, docs)["extracted"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

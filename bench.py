@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "extract_docs_per_sec": ...}
+
+The flagship metric is extraction throughput (docs/sec) over the
+deterministic synthetic corpus at the sf-matched size (sf0.1 -> 100k
+docs; FIXTURES.md §1). The corpus parquet is cached under /tmp keyed by
+(n, seed) — generation is timed separately from extraction.
+
+Scaling evidence (north rule, two parallelism levels) is produced by
+``scripts/scaling_evidence.py`` which shells out to this file with
+``SPARK_GRAFT_CPUS=8`` and ``=32`` and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+SEED = 42
+
+# headline relational/training-data queries (from the registry)
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_composite_equi_join",
+    "o5_top_k_per_group",
+    "sessionize",
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "text_quality_score",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_docs_for_sf(sf: float) -> int:
+    return max(int(round(sf * 1_000_000)), 1000)
+
+
+def ensure_corpus(spark, n: int) -> str:
+    """Deterministic corpus parquet, cached across runs (same bytes for
+    any parallelism — property-tested)."""
+    path = f"/tmp/spark_graft_corpus/n{n}_seed{SEED}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from win64_local_ocr_tool_spark.corpus import corpus_df
+
+        corpus_df(spark, n, SEED).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from win64_local_ocr_tool_spark.operators.extract import extract_all
+    from win64_local_ocr_tool_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    sf = sf_from_dir(SF_DIR)
+    n_docs = corpus_docs_for_sf(sf)
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+
+    timings: dict[str, float] = {}
+
+    # --- corpus (generation timed separately, then cached) ---
+    t0 = time.monotonic()
+    corpus_path = ensure_corpus(spark, n_docs)
+    timings["corpus_gen_or_cache"] = round(time.monotonic() - t0, 3)
+
+    # --- flagship: extraction throughput ---
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.monotonic()
+    n_out = extract_all(docs).count()
+    extract_sec = time.monotonic() - t0
+    timings["extract_e2e"] = round(extract_sec, 3)
+    assert n_out == n_docs, f"{n_out} != {n_docs}"
+
+    # --- headline relational / training-data queries ---
+    queries = entry.queries()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_docs": n_docs,
+                "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark AND its
+``oracle_sql()`` on DuckDB (same parquet, pre-registered views), then
+compares row count, sorted column names, and the order-insensitive
+multiset of canonicalized values. Strictly stricter than a value-hash:
+any mismatch prints the offending rows.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return round(f, 9)
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v
+    return str(v)
+
+
+def canon_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in pdf[cols].iterrows()]
+    return cols, sorted(rows, key=repr)
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from win64_local_ocr_tool_spark.session import get_spark
+
+    spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        gc, gr = canon_rows(got)
+        wc, wr = canon_rows(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} vs {wc}")
+            failed.append(name)
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} vs {len(wr)}")
+            failed.append(name)
+            continue
+        diffs = [(a, b) for a, b in zip(gr, wr) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)} row mismatches; first 3:")
+            for a, b in diffs[:3]:
+                print("   spark:", a)
+                print("   duck :", b)
+            failed.append(name)
+            continue
+        passed.append(name)
+        print(f"PASS {name}: {len(gr)} rows, cols={gc}")
+
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only =="
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

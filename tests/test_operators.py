@@ -1,0 +1,87 @@
+"""Operator tests: DuckDB-oracle parity sample (the driver gate's local
+replica) + checks that aren't SQL-expressible (ANN recall)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from check_oracle import TABLES, canon_rows  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+# A cross-family sample; the full sweep runs via scripts/check_oracle.py
+SAMPLE = [
+    "q1_pricing_summary",
+    "f7_skew_split",
+    "j1_range_join",
+    "j5_resume_anti_join",
+    "w3_lag_boundary",
+    "w5_confidence_product",
+    "o5_top_k_per_group",
+    "u1_undirected_pair_dedup",
+    "a6_majority_vote",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "text_quality_score",
+    "sim_topk_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    got = entry.queries()[name](spark, sf_dir).toPandas()
+    want = duck.sql(entry.oracle_sql()[name]).df()
+    gc, gr = canon_rows(got)
+    wc, wr = canon_rows(want)
+    assert gc == wc
+    assert len(gr) == len(wr)
+    assert gr == wr
+
+
+def test_every_query_has_oracle_or_is_documented():
+    """Every queries() entry either has an oracle or is one of the known
+    non-SQL-expressible ops (driver records rows-only for those)."""
+    rows_only_allowed = {"sim_ann_ivf", "extract_e2e", "extract_spans_long"}
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q
+    assert q - o == rows_only_allowed
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF ANN must recover most of the true top-k (nprobe 4 of 16
+    cells on random vectors won't be perfect — the bar is recall@5 of
+    the exact top-1 plus >=50% of the top-5)."""
+    brute = entry.queries()["sim_topk_cosine"](spark, sf_dir).toPandas()
+    ann = entry.queries()["sim_ann_ivf"](spark, sf_dir).toPandas()
+    recall_total = 0.0
+    qids = sorted(brute["qid"].unique())
+    for qid in qids:
+        true_top = set(brute[brute["qid"] == qid]["vec_id"])
+        got_top = set(ann[ann["qid"] == qid]["vec_id"])
+        recall_total += len(true_top & got_top) / len(true_top)
+    recall = recall_total / len(qids)
+    assert recall >= 0.5, f"ANN recall@5 too low: {recall}"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() == 1100
+    assert set(df.columns) >= {"url", "status", "extracted_text", "spans", "lang"}

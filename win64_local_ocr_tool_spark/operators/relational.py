@@ -1,0 +1,708 @@
+"""Relational operator set (SURVEY.md §2 F/J/A/W/O/U families).
+
+Each operator the reference computes imperatively is restated as a
+declarative DataFrame plan (Catalyst handles pushdown/pruning/join
+selection) with a DuckDB oracle for the driver's correctness gate.
+Reference citations sit on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .tables import load
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped grouped aggregation — the A1/A8 running-stats
+    analog (reference mean-y per component, segment_graph.py:291-295)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a2_group_extents",
+    """
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           min(l_shipdate)                AS first_ship,
+           max(l_shipdate)                AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a2_group_extents(spark, sf_dir):
+    """Min/max extents per group (reference: per-line bounding extents,
+    segment_from_point_clusters.py:268-271)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+
+
+@query(
+    "a3_exact_median",
+    """
+    SELECT l_returnflag, median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_exact_median(spark, sf_dir):
+    """Exact median (reference: median background pixel,
+    segment_from_point_clusters.py:278,321)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.median("l_quantity").alias("med_qty"))
+    )
+
+
+@query(
+    "a4_percentile",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.8), 4) AS p80_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a4_percentile(spark, sf_dir):
+    """Interpolated p80 (reference: p80 of inter-peak gaps = max line
+    height, segment_old_method.py:19)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.percentile("o_totalprice", 0.8), 4).alias("p80_price"))
+    )
+
+
+@query(
+    "a6_majority_vote",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS majority_type, cnt AS votes
+    FROM r WHERE rn = 1
+    """,
+)
+def a6_majority_vote(spark, sf_dir):
+    """Count-by-label + argmax with deterministic tie-break (reference:
+    DBSCAN majority cluster, LayoutGraphGenerator.js:78-104)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("majority_type"),
+            F.col("cnt").alias("votes"),
+        )
+    )
+
+
+@query(
+    "a7_distinct_labels",
+    """
+    SELECT DISTINCT lang, source FROM documents
+    """,
+)
+def a7_distinct_labels(spark, sf_dir):
+    """Distinct label set (reference: set(labels),
+    segment_from_point_clusters.py:368)."""
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@query(
+    "a9_norm_edit_distance",
+    """
+    SELECT lang,
+           round(avg(1.0 - levenshtein(substr(text, 1, 40), substr(text, 11, 40))
+                 / greatest(length(substr(text, 1, 40)),
+                            length(substr(text, 11, 40)))), 4) AS avg_norm_sim
+    FROM documents GROUP BY lang
+    """,
+)
+def a9_norm_edit_distance(spark, sf_dir):
+    """ICDAR2019 normalized edit distance as an aggregate — built-in
+    levenshtein (reference formula: finetune/test.py:93-99; JS DP impl
+    annotationStore.js:141-162)."""
+    d = load(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 40)
+    b = F.substring("text", 11, 40)
+    sim = 1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    return d.groupBy("lang").agg(F.round(F.avg(sim), 4).alias("avg_norm_sim"))
+
+
+@query(
+    "a10_rollup",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def a10_rollup(spark, sf_dir):
+    """Rollup for metrics reporting (SURVEY A10: built-in, no custom)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-family: filters / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_threshold_filter",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events WHERE value > 75.0 AND event_type = 'click'
+    """,
+)
+def f1_threshold_filter(spark, sf_dir):
+    """Peak-threshold predicate + projection (reference:
+    norm == local_max AND norm > 0.3, segment_graph.py:43-44). Both
+    predicate and the 3-column projection push into the parquet scan."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("value") > 75.0) & (F.col("event_type") == "click"))
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+@query(
+    "f5_regex_filter_scrub",
+    """
+    SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS scrubbed
+    FROM documents WHERE regexp_matches(text, 'spark .* join')
+    """,
+)
+def f5_regex_filter_scrub(spark, sf_dir):
+    """Charset regex filter + scrub (reference: charset filter/scrub,
+    recognition/dataset.py:171-177,216-217)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("spark .* join")).select(
+        "doc_id", F.regexp_replace("text", "[aeiou]", "").alias("scrubbed")
+    )
+
+
+@query(
+    "f7_skew_split",
+    """
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(ceil(n_chars / 120.0) AS BIGINT) - 1))
+             AS chunk_id,
+           CAST(ceil(n_chars / 120.0) AS BIGINT) AS n_chunks
+    FROM documents WHERE n_chars > 240
+    """,
+)
+def f7_skew_split(spark, sf_dir):
+    """Tall-box split: oversized units explode into ceil(size/max) chunks
+    (reference: segment_old_method.py:23-37) — the mega-page skew
+    splitting primitive."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 240)
+    n_chunks = F.ceil(F.col("n_chars") / 120.0).cast("long")
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        n_chunks.alias("n_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_range_join",
+    """
+    WITH buckets AS (
+      SELECT unnest(generate_series(0, 9)) AS bucket_id
+    ), b AS (
+      SELECT bucket_id, bucket_id * 10.0 AS lo, (bucket_id + 1) * 10.0 AS hi
+      FROM buckets
+    )
+    SELECT b.bucket_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def j1_range_join(spark, sf_dir):
+    """Point-in-interval theta join (reference: point-in-box gather,
+    segment_from_point_clusters.py:64-69). Physical plan: broadcast
+    nested-loop — correct for a small bounded dim side, exactly the
+    SURVEY §4 prescription."""
+    ev = load(spark, sf_dir, "events")
+    b = (
+        spark.range(0, 10)
+        .select(
+            F.col("id").cast("int").alias("bucket_id"),
+            (F.col("id") * 10.0).alias("lo"),
+            ((F.col("id") + 1) * 10.0).alias("hi"),
+        )
+    )
+    return (
+        ev.join(
+            F.broadcast(b),
+            (ev["value"] >= b["lo"]) & (ev["value"] < b["hi"]),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "j3_composite_equi_join",
+    """
+    SELECT r_name, n_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j3_composite_equi_join(spark, sf_dir):
+    """Multi-table equi-join + agg (reference: annotations ⋈ recognitions
+    on (manuscript,page,line), annotationStore.js:164-195). Dim tables
+    broadcast; fact side never shuffles twice."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j5_resume_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j5_resume_anti_join(spark, sf_dir):
+    """Left-anti join — THE resume primitive (all-partitions EXCEPT
+    done-partitions, SURVEY J5/U5; lineage.prune_done uses exactly this
+    shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j5_semi_join",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def j5_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-family: windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_reading_order_rank",
+    """
+    WITH s AS (
+      SELECT n_regionkey, n_nationkey, n_name,
+             (SELECT round(avg(c_acctbal), 4) FROM customer
+              WHERE c_nationkey = n_nationkey) AS avg_bal
+      FROM nation
+    )
+    SELECT n_regionkey, n_name, avg_bal,
+           dense_rank() OVER (PARTITION BY n_regionkey
+                              ORDER BY avg_bal DESC, n_name) AS rank_in_region
+    FROM s
+    """,
+)
+def w1_reading_order_rank(spark, sf_dir):
+    """Rank groups by their aggregate, relabel sequentially (reference:
+    components sorted by mean y -> sequential line labels,
+    segment_graph.py:297-307)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_regionkey", "n_nationkey", "n_name")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+    w = W.partitionBy("n_regionkey").orderBy(F.col("avg_bal").desc(), "n_name")
+    return s.select(
+        "n_regionkey", "n_name", "avg_bal", F.dense_rank().over(w).alias("rank_in_region")
+    )
+
+
+@query(
+    "w2_stable_row_number",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders
+    """,
+)
+def w2_stable_row_number(spark, sf_dir):
+    """Stable 1-based numbering within a partition (reference: line%03d,
+    segment_from_point_clusters.py:375-376)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("seq")
+    )
+
+
+@query(
+    "w3_lag_boundary",
+    """
+    WITH x AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           sum(CASE WHEN prev_type IS NOT NULL AND event_type <> prev_type
+                    THEN 1 ELSE 0 END) AS n_boundaries
+    FROM x GROUP BY user_id
+    """,
+)
+def w3_lag_boundary(spark, sf_dir):
+    """Lag-based boundary detection (reference: label-change midpoint
+    split, segment_from_point_clusters.py:82-95)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return x.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("prev_type").isNotNull()
+                & (F.col("event_type") != F.col("prev_type")),
+                1,
+            ).otherwise(0)
+        ).alias("n_boundaries")
+    )
+
+
+@query(
+    "w4_successive_gap",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    SELECT user_id, round(avg(gap_s), 4) AS avg_gap_s, max(gap_s) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    """,
+)
+def w4_successive_gap(spark, sf_dir):
+    """Successive-difference stats (reference: inter-peak gaps,
+    segment_old_method.py:19)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_s",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long"),
+    )
+    return (
+        g.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+@query(
+    "w5_confidence_product",
+    """
+    WITH f AS (
+      SELECT l_orderkey,
+             CAST(100 - round(l_discount * 100, 0) AS BIGINT) AS factor,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_discount
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           CAST(product(factor) AS BIGINT) AS confidence_scaled
+    FROM f WHERE rn <= 4 GROUP BY l_orderkey
+    """,
+)
+def w5_confidence_product(spark, sf_dir):
+    """Cumulative product at step 4 (reference: confidence = cumprod of
+    per-step max softmax, demo.py:150-161). Computed in the exact
+    integer domain (discounts are 2-decimal; 4 factors <= 1e8): float
+    exp(sum(log)) / product() land exactly ON 6-decimal round
+    boundaries here, so no float formulation can hash-match across
+    engines — the SURVEY §7.5-item-5 lesson (float products are
+    reporting columns, never compared columns). In the extraction
+    pipeline itself, confidence IS a reporting column and uses
+    exp(sum(log))."""
+    li = load(spark, sf_dir, "lineitem")
+    factor = (100 - F.round(F.col("l_discount") * 100, 0)).cast("long")
+    # deterministic first-4: sort the (key..., factor) tuples, slice.
+    rec = F.struct(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_discount", factor.alias("factor")
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.aggregate(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list(rec)), 1, 4),
+                lambda r: r["factor"],
+            ),
+            F.lit(1).cast("long"),
+            lambda acc, x: acc * x,
+        ).alias("confidence_scaled")
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag(ts) + gap>threshold boundaries (the batch
+    restatement of streaming session windows — SURVEY §2.9: the engine
+    is batch-with-resume by design)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    x = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return x.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-family: sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o5_top_k_per_group",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def o5_top_k_per_group(spark, sf_dir):
+    """Top-k per group with deterministic tie-break (reference: 6-NN
+    smallest distances per point, LayoutGraphGenerator.js:30-61)."""
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "o8_global_topk",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o8_global_topk(spark, sf_dir):
+    """Global order-by + limit (TakeOrderedAndProject — no full sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-family: set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_undirected_pair_dedup",
+    """
+    SELECT DISTINCT least(l_partkey, l_suppkey)    AS lo,
+                    greatest(l_partkey, l_suppkey) AS hi
+    FROM lineitem
+    """,
+)
+def u1_undirected_pair_dedup(spark, sf_dir):
+    """Undirected edge dedup: (a,b) == (b,a) via (least, greatest)
+    (reference: edge-exists check, new-SemiSegmentationSection.vue:321-325)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.least("l_partkey", "l_suppkey").alias("lo"),
+        F.greatest("l_partkey", "l_suppkey").alias("hi"),
+    ).distinct()
+
+
+@query(
+    "u3_union_concat",
+    """
+    SELECT nationkey, count(*) AS n_parties FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def u3_union_concat(spark, sf_dir):
+    """Dataset concat via unionByName (reference: ConcatDataset,
+    recognition/dataset.py:104-129)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("nationkey").agg(
+        F.count("*").alias("n_parties")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-family: scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_scalar_functions",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 12))         AS head,
+           length(text)                        AS text_len,
+           md5(text)                           AS fp,
+           printf('doc%05d', doc_id)           AS tag,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word
+    FROM documents
+    """,
+)
+def c_scalar_functions(spark, sf_dir):
+    """String/scalar kernel sampler: substr/upper/length (C6-ish),
+    md5 fingerprint, format_string (C9: 'line%03d'), regexp_extract
+    (C11 path parsing analog)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("fp"),
+        F.format_string("doc%05d", "doc_id").alias("tag"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+    )

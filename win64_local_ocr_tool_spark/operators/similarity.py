@@ -1,0 +1,232 @@
+"""Similarity search over embeddings (array<float> column).
+
+- ``sim_topk_cosine``: brute-force cosine top-k — the correctness
+  baseline, fully relational (zip_with/aggregate dot products), with a
+  DuckDB oracle.
+- ``sim_ann_ivf``: IVF-style ANN — assign vectors to their nearest of K
+  centroid cells, search only the query's nprobe nearest cells. The
+  scale path: candidate set shrinks by ~K/nprobe; implemented with a
+  vectorized numpy kernel inside mapInPandas (Arrow batches), driver
+  check is rows-only, recall vs brute force is pytest-verified.
+
+Also the extraction-pipeline driver entries (rows-only): the flagship
+e2e run and the exploded spans table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .tables import load
+
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _cos_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+@query(
+    "sim_topk_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+               AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    r AS (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rnk
+      FROM c
+    )
+    SELECT qid, vec_id, round(cos, 4) AS cosine, rnk
+    FROM r WHERE rnk <= {TOPK}
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus — at scale the corpus side streams, no shuffle until the
+    per-query top-k (a k-row-per-group window)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        F.round(_cos_expr(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+def ivf_assign(spark, sf_dir) -> DataFrame:
+    """Cell assignment: nearest of IVF_CELLS centroids (centroids =
+    the first K vectors — deterministic, no iterative k-means here).
+    Vectorized numpy matmul per Arrow batch; centroids broadcast once
+    per executor (SURVEY P4: one-time model load analog)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < IVF_CELLS)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = e.sparkSession.sparkContext.broadcast(cn)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cell = (mn @ c.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    return e.mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cell int"
+    )
+
+
+@query("sim_ann_ivf")  # rows-only: recall vs brute force is pytest-gated
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN: search only the query's IVF_NPROBE nearest cells.
+    The candidate join is an equi-join on cell id (bounded fan-out),
+    not a cross join — the 100 TB shape."""
+    assigned = ivf_assign(spark, sf_dir)
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < IVF_CELLS)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = assigned.sparkSession.sparkContext.broadcast(cn)
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            m = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(mn @ c.T), axis=1)[:, :IVF_NPROBE]
+            rows = {
+                "qid": np.repeat(pdf["qid"].values, IVF_NPROBE),
+                "qv": [v for v in pdf["qv"] for _ in range(IVF_NPROBE)],
+                "cell": top.reshape(-1).astype("int32"),
+            }
+            yield pd.DataFrame(rows)
+
+    probes = q.mapInPandas(
+        probe_cells, schema="qid long, qv array<float>, cell int"
+    )
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(_cos_expr(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline driver entries (non-SQL-expressible -> rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("extract_e2e")
+def extract_e2e(spark, sf_dir):
+    """Flagship extraction over the deterministic synthetic corpus
+    (the north-rule input shape is synthesized; sf_dir's tables don't
+    carry binary payloads). Both physical paths run."""
+    from ..corpus import corpus_df
+    from ..operators.extract import extract_all
+
+    docs = corpus_df(spark, 600)
+    out = extract_all(docs)
+    return out.select(
+        "url",
+        "status",
+        "lang",
+        F.size("spans").alias("n_spans"),
+        F.length("extracted_text").alias("text_chars"),
+    )
+
+
+@query("extract_spans_long")
+def extract_spans_long(spark, sf_dir):
+    """Exploded spans table (url, span_id, char_start, char_end) — the
+    blocks->spans stage surfaced as a long table (FIXTURES.md §3)."""
+    from ..corpus import corpus_df
+    from ..operators.extract import extract_all
+
+    docs = corpus_df(spark, 400)
+    out = extract_all(docs)
+    s = out.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        "url",
+        F.col("s.span_id").alias("span_id"),
+        F.col("s.char_start").alias("char_start"),
+        F.col("s.char_end").alias("char_end"),
+    )

@@ -1,0 +1,361 @@
+"""Training-data text operators: dedup, quality, lang-id, tokens.
+
+The operations a 100 TB training-data pipeline runs over the corpus
+after extraction. All shapes are shuffle-lean: shingle explode ->
+equi-join on shingle/band (the only shuffle), never an all-pairs cross
+join. Portable hashing = md5 hex strings (identical in Spark and
+DuckDB), so every step has a real SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .registry import query
+from .tables import load
+
+N_MINHASH = 8  # minhash permutations (md5-keyed)
+LSH_BANDS = 4  # bands of rows=2 over the signature
+SHINGLE_W = 3  # words per shingle
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - SHINGLE_W, F.lit(-1)))
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                        F.element_at(words, i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_W - 1}, 0)),
+           i -> concat_ws(' ', string_split(text, ' ')[i],
+                               string_split(text, ' ')[i+1],
+                               string_split(text, ' ')[i+2]))) AS shingle
+  FROM documents
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS representative
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min-id representative. At scale
+    this is one shuffle on the 32-char fp — never on the text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.008
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: shingle explode -> equi-join on shingle
+    (candidate generation) -> set-algebra jaccard. The join carries only
+    (doc_id, shingle), never documents; skew-safe because shingle
+    frequency is bounded by vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.008)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"min(md5(concat(CAST({s} AS VARCHAR), ':', shingle))) AS sig{s}"
+        for s in range(N_MINHASH)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+@query("dedup_minhash_sig", _minhash_sig_sql())
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures with PORTABLE permutations: permutation s
+    orders shingles by md5(s || ':' || shingle); the signature element
+    is the lexicographic min — identical in any engine, no int-width
+    hash semantics to match."""
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
+        ).alias(f"sig{s}")
+        for s in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_pairs_sql() -> str:
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        parts = ", ".join(
+            f"sig{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band, md5(concat({parts})) AS bkey FROM sig")
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_lsh_pairs", _lsh_pairs_sql())
+def dedup_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band the signature, hash each band,
+    equi-join on (band, band-hash). The banding join is the scale path —
+    candidates are generated without comparing all pairs."""
+    sig = dedup_minhash_sig(spark, sf_dir)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_dfs = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_dfs.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*parts)).alias("bkey"),
+            )
+        )
+    bands = band_dfs[0]
+    for bd in band_dfs[1:]:
+        bands = bands.unionByName(bd)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_HI_HEX = "'8','9','a','b','c','d','e','f'"
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bits AS (
+      SELECT doc_id, unnest(generate_series(0, 15)) AS b, md5(shingle) AS h
+      FROM sh
+    ),
+    weighted AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN substr(h, b + 1, 1) IN ({_HI_HEX})
+                      THEN 1 ELSE -1 END) AS w
+      FROM bits GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN w >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+             AS simhash16
+    FROM weighted GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over shingle md5s: per-bit +/-1 vote, sign =
+    signature bit. Bit b is read from hex digit b of the shingle hash —
+    pure string ops, engine-portable."""
+    sh = _shingles(load(spark, sf_dir, "documents")).withColumn(
+        "h", F.md5("shingle")
+    )
+    bits = sh.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    weighted = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), F.col("b") + 1, 1).isin(
+                    *"89abcdef"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias("w")
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "b",
+                            F.when(F.col("w") >= 0, "1").otherwise("0").alias("bit"),
+                        )
+                    )
+                ),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("simhash16")
+    )
+
+
+@query(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                     AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters-runs | digit-runs | single punctuation)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           round(CAST(n_chars - (len(words) - 1) AS DOUBLE) / len(words), 4)
+             AS avg_word_len,
+           round(CAST(len(list_filter(words, x -> x IN ({_STOP_SQL})))
+                 AS DOUBLE) / len(words), 4) AS stopword_ratio
+    FROM w
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length stats + stopword ratio — the boilerplate/
+    quality heuristics of a pretraining filter, relationally."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop = F.size(
+        F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            (F.col("n_chars") - (n_words - 1)).cast("double") / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(stop.cast("double") / n_words, 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS n_en,
+             len(list_filter(words, x -> x IN ('der','die','und'))) AS n_de
+      FROM w
+    )
+    SELECT doc_id, lang AS tagged_lang,
+           CASE WHEN n_de > n_en THEN 'de'
+                WHEN n_en > 0 THEN 'en'
+                ELSE 'und' END AS detected_lang
+    FROM m
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Marker-stopword language id as a relational CASE — the SQL-shaped
+    twin of kernels/langid.py (which the extraction pipeline uses)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_en = F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+    n_de = F.size(F.filter(words, lambda x: x.isin("der", "die", "und")))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        F.when(n_de > n_en, "de")
+        .when(n_en > 0, "en")
+        .otherwise("und")
+        .alias("detected_lang"),
+    )
