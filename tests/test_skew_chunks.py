@@ -50,8 +50,18 @@ def test_mega_path_handles_pdf_and_corrupt(spark):
 
 
 def test_dispatch_routes_by_size(spark):
-    """extract_all: the union of both paths covers every input exactly once."""
+    """extract_all with distributed skew enabled: the union of both
+    paths covers every input exactly once."""
     docs = corpus_df(spark, 1100)
     out = extract_all(docs, mega_bytes=65536)
     assert out.count() == 1100
     assert out.select("url").distinct().count() == 1100
+
+
+def test_default_single_path_matches_dual_path(spark):
+    """Default (in-task) and distributed-skew plans produce identical
+    rows — the dispatch threshold is a physical choice, not semantic."""
+    docs = corpus_df(spark, 1100)
+    a = extract_all(docs).orderBy("url").collect()
+    b = extract_all(docs, mega_bytes=65536).orderBy("url").collect()
+    assert a == b

@@ -1,0 +1,76 @@
+"""Job entry points (the analog of the reference's REST endpoints,
+``routes.py:38-349`` -> spark-submit CLIs, SURVEY S12).
+
+Usage (cluster):
+
+    spark-submit --py-files dist/win64_local_ocr_tool_spark.zip \\
+        -m win64_local_ocr_tool_spark.jobs extract \\
+        --input  s3://bucket/documents/ \\
+        --output s3://bucket/extracted/ \\
+        --lineage s3://bucket/lineage/ --resume
+
+Local smoke:
+
+    python -m win64_local_ocr_tool_spark.jobs extract \\
+        --synthetic 1000 --output /tmp/out --lineage /tmp/lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="win64_local_ocr_tool_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the extraction pipeline")
+    ex.add_argument("--input", help="parquet/Iceberg path of documents table")
+    ex.add_argument("--synthetic", type=int, default=None,
+                    help="generate N synthetic docs instead of --input")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--lineage", default=None)
+    ex.add_argument("--resume", action="store_true")
+    ex.add_argument("--n-buckets", type=int, default=64)
+    ex.add_argument("--mega-bytes", type=int, default=None,
+                    help="enable distributed skew path above this size")
+    ex.add_argument("--chunk-blocks", type=int, default=200)
+    ex.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .corpus import corpus_df
+    from .pipeline import run_extraction
+    from .session import get_spark
+
+    spark = get_spark("extract-job", master=args.master)
+    try:
+        if args.synthetic is not None:
+            docs = corpus_df(spark, args.synthetic)
+        elif args.input:
+            docs = spark.read.parquet(args.input)
+        else:
+            print("need --input or --synthetic", file=sys.stderr)
+            return 2
+        stats = run_extraction(
+            spark,
+            docs,
+            out_dir=args.output,
+            lineage_dir=args.lineage,
+            resume=args.resume,
+            n_buckets=args.n_buckets,
+            mega_bytes=args.mega_bytes,
+            chunk_blocks=args.chunk_blocks,
+        )
+        print(json.dumps(stats))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -312,15 +312,31 @@ def extract_mega(docs: DataFrame, *, chunk_blocks: int = 200) -> DataFrame:
 def extract_all(
     docs: DataFrame,
     *,
-    mega_bytes: int = 65536,
+    mega_bytes: int | None = None,
     chunk_blocks: int = 200,
 ) -> DataFrame:
-    """Dispatch normal vs mega documents by payload size and union.
+    """Extraction with optional distributed skew splitting.
 
-    ``length(html) >= mega_bytes`` routes through the chunked skew path.
-    The predicate is evaluated at scan time, so each path reads only its
-    rows; the mega side is a tiny fraction by design.
+    ``mega_bytes=None`` (default): every document runs through the
+    zero-shuffle in-task path — correct and memory-safe for payloads up
+    to tens of MB (one Arrow batch holds <= maxRecordsPerBatch rows),
+    and the whole job is scan -> mapInPandas -> sink: nothing scales
+    sub-linearly with executor count.
+
+    ``mega_bytes=N``: documents with ``length(html) >= N`` route through
+    the distributed chunk path (``extract_mega``) so ONE document fans
+    out across the cluster. This is for corpora carrying multi-MB
+    documents where a single payload would dominate a task. Cost at
+    scan level: the branch predicate (length of a column value) cannot
+    be pushed into parquet row-group pruning, so the mega branch
+    re-scans the table — on a production Iceberg table you avoid this
+    by recording ``n_bytes`` as a metadata column at ingest and
+    partition-pruning on it; with the fixed 5-column input schema the
+    honest price is one extra scan, which is why the distributed path
+    is opt-in rather than default.
     """
+    if mega_bytes is None:
+        return extract_normal(docs)
     is_mega = F.length(F.col("html")) >= F.lit(mega_bytes)
     normal = extract_normal(docs.filter(~is_mega))
     mega = extract_mega(docs.filter(is_mega), chunk_blocks=chunk_blocks)

@@ -35,7 +35,7 @@ def run_extraction(
     lineage_dir: str | None = None,
     resume: bool = False,
     n_buckets: int = 64,
-    mega_bytes: int = 65536,
+    mega_bytes: int | None = None,
     chunk_blocks: int = 200,
     run_id: str | None = None,
 ) -> dict:

@@ -24,7 +24,8 @@ def get_spark(
     master: str | None = None,
     *,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 64,
+    arrow_batch_rows: int = 256,
+    max_partition_bytes: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -48,6 +49,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if max_partition_bytes is not None:
+        # Match split granularity to task granularity: at 100 TB the
+        # 128MB default yields ~800k tasks (plenty); local test corpora
+        # are small-file, so shrink splits to keep all cores fed and
+        # avoid straggler tails.
+        b = b.config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        b = b.config("spark.sql.files.openCostInBytes", str(max_partition_bytes // 8))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
