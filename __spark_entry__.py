@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Importing the operator modules populates the registry.
 from win64_local_ocr_tool_spark.operators import (  # noqa: F401,E402
+    multimodal,
     relational,
+    relational2,
     similarity,
     textops,
 )

@@ -58,7 +58,13 @@ def test_oracle_parity(spark, sf_dir, duck, name):
 def test_every_query_has_oracle_or_is_documented():
     """Every queries() entry either has an oracle or is one of the known
     non-SQL-expressible ops (driver records rows-only for those)."""
-    rows_only_allowed = {"sim_ann_ivf", "extract_e2e", "extract_spans_long"}
+    rows_only_allowed = {
+        "sim_ann_ivf",
+        "extract_e2e",
+        "extract_spans_long",
+        "media_metadata",
+        "media_features",
+    }
     q = set(entry.queries())
     o = set(entry.oracle_sql())
     assert o <= q

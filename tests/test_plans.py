@@ -1,0 +1,69 @@
+"""Physical-plan shape gates: the scale properties the engine promises
+(pushdown, pruning, broadcast, top-k pushdown, shuffle-free hot path)
+must be visible in the executed plan, not just claimed (SURVEY §4)."""
+
+import __spark_entry__ as entry
+
+from win64_local_ocr_tool_spark.corpus import corpus_df
+from win64_local_ocr_tool_spark.operators.extract import extract_all, extract_normal
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_push_into_scan(spark, sf_dir):
+    plan = _plan(entry.queries()["f1_threshold_filter"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(value,75.0)" in scan
+    assert "EqualTo(event_type,click)" in scan
+    # column pruning: the scan must not read ts/props
+    assert "ts" not in scan.split("ReadSchema")[1]
+    assert "props" not in scan.split("ReadSchema")[1]
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(entry.queries()["j3_composite_equi_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region at minimum
+    assert "SortMergeJoin" not in plan  # no fact-side re-shuffle
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(entry.queries()["o8_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a full sort
+
+
+def test_extraction_hot_path_has_no_shuffle(spark):
+    """The flagship plan is scan -> project -> mapInPandas: zero wide
+    dependencies, the property the N->4N criterion measures."""
+    docs = corpus_df(spark, 50)
+    plan = _plan(extract_normal(docs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_extraction_dual_path_shuffles_only_mega_rows(spark):
+    """With the distributed skew path enabled, the normal branch stays
+    shuffle-free; Exchanges appear only under the mega branch."""
+    docs = corpus_df(spark, 50)
+    plan = _plan(extract_all(docs, mega_bytes=65536))
+    normal_branch = plan.split("Union")[0]
+    # the first union branch (normal path) must stay narrow
+    assert "Exchange" not in normal_branch
+
+
+def test_resume_anti_join_is_broadcast(spark, tmp_path, sf_dir):
+    import pandas as pd
+    from win64_local_ocr_tool_spark.lineage import append_lineage, prune_done, with_partition_key
+
+    lin = str(tmp_path / "lineage")
+    per_key = spark.createDataFrame(
+        pd.DataFrame({"partition_key": [0, 1], "n_rows": [5, 5], "n_errors": [0, 0]}),
+        schema="partition_key int, n_rows long, n_errors long",
+    )
+    append_lineage(spark, lin, "extract", per_key, 100)
+    docs = with_partition_key(corpus_df(spark, 50), 8)
+    pruned, n_done = prune_done(docs, spark, lin, "extract")
+    assert n_done == 2
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -203,6 +203,23 @@ def media_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
     )
 
 
+from .registry import query
+
+
+@query("media_metadata")  # rows-only: binary plumbing, not SQL-expressible
+def media_metadata_q(spark, sf_dir):
+    return media_metadata(synthetic_media_df(spark, 200))
+
+
+@query("media_features")  # rows-only
+def media_features_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return media_features(synthetic_media_df(spark, 200)).select(
+        "media_id", "kind", "status", F.size("feat").alias("dim")
+    )
+
+
 def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media fixture table (media_id, payload binary)."""
 
