@@ -130,6 +130,29 @@ def test_extract_recovers_generator_intent():
         assert res["extracted_text"] == want, f"row {i}"
 
 
+def test_scan_equals_htmlparser():
+    """The fast regex scanner used in the hot path must be observably
+    identical to the stdlib-HTMLParser reference tokenizer."""
+    from win64_local_ocr_tool_spark.kernels.htmlscan import scan_html
+
+    for i in range(300):
+        row = gen_row(i)
+        if row["html"][:1] in (b"\xff", b"%"):
+            continue
+        assert scan_html(row["html"]) == tokenize_html(row["html"]), f"row {i}"
+    for case in [
+        b"<p>a &amp; b</p>",
+        b"<P>UPPER</P><DIV>x</DIV>",
+        b"<script>var a='<p>no</p>';</script><p>yes</p>",
+        b"<!-- <p>c</p> --><p>ok</p>",
+        b'<p class="x > y">attr gt</p>',
+        b"<p>broken < soup</p>",
+        b"<ul><li>a<li>b</ul>",
+        "<p>café नदी</p>".encode(),
+    ]:
+        assert scan_html(case) == tokenize_html(case), case
+
+
 def test_span_offsets_slice_text():
     row = gen_row(3)
     res = extract_document(row["html"])

@@ -17,7 +17,8 @@ from __future__ import annotations
 import unicodedata
 
 from .classify import classify_blocks
-from .htmlblocks import Block, tokenize_html
+from .htmlblocks import Block
+from .htmlscan import scan_html
 from .langid import detect_lang
 from .pdfglyphs import PDF_MAGIC, parse_pdf_payload
 
@@ -56,7 +57,9 @@ def tokenize_payload(payload: bytes) -> tuple[str, list[Block]]:
             pos += len(text) + 1
         return ("pdf", blocks)
     try:
-        return ("html", tokenize_html(payload))
+        # scan_html == htmlblocks.tokenize_html observably (equivalence
+        # pinned in tests), ~2x faster — the hot-loop choice.
+        return ("html", scan_html(payload))
     except ValueError:
         return ("error", [])
 

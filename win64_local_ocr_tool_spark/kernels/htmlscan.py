@@ -1,0 +1,119 @@
+"""Fast regex-based HTML block scanner — same observable behavior as
+the ``html.parser``-based tokenizer, ~5x faster.
+
+The per-document parse is the engine's hottest loop (the analog of the
+reference's CRAFT forward pass, its P3/P5 batching tactics); stdlib
+HTMLParser spends most of its time in generic machinery this pipeline
+never uses (attribute parsing, charref positions, pos tracking).
+Equivalence with ``htmlblocks.tokenize_html`` on the corpus shapes is
+pinned by tests/test_kernels.py::test_scan_equals_htmlparser.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+
+from .htmlblocks import BLOCK_TAGS, SKIP_TAGS, Block
+
+# One pass: tags, comments, declarations. Attribute bodies are skipped,
+# never parsed (the classifier uses only tag names + text).
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"|<!--.*?-->"
+    r"|<![^>]*>",
+    re.DOTALL,
+)
+
+def _norm(raw: str) -> str:
+    if "&" in raw:
+        raw = _html.unescape(raw)
+    text = " ".join(raw.split())
+    if text and not text.isascii():
+        text = unicodedata.normalize("NFC", text)
+    return text
+
+
+def scan_html(payload: bytes) -> list[Block]:
+    """Drop-in replacement for ``htmlblocks.tokenize_html``."""
+    try:
+        text = payload.decode("utf-8", errors="strict")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"undecodable payload: {exc}") from None
+
+    blocks: list[Block] = []
+    buf: list[str] = []
+    link_buf: list[str] = []
+    tag_stack: list[str] = []
+    link_depth = 0
+    pos = 0
+
+    def flush() -> None:
+        nonlocal pos
+        if not buf:
+            link_buf.clear()
+            return
+        t = _norm("".join(buf))
+        lt = _norm("".join(link_buf)) if link_buf else ""
+        buf.clear()
+        link_buf.clear()
+        if not t:
+            return
+        blocks.append(
+            Block(
+                block_id=len(blocks),
+                tag=tag_stack[-1] if tag_stack else "body",
+                depth=len(tag_stack),
+                pos=pos,
+                text=t,
+                text_len=len(t),
+                link_text_len=min(len(lt), len(t)),
+            )
+        )
+        pos += len(t) + 1
+
+    i = 0
+    n = len(text)
+    while i < n:
+        m = _TAG_RE.search(text, i)
+        if m is None:
+            data = text[i:]
+            if data:
+                buf.append(data)
+                if link_depth:
+                    link_buf.append(data)
+            break
+        if m.start() > i:
+            data = text[i : m.start()]
+            buf.append(data)
+            if link_depth:
+                link_buf.append(data)
+        i = m.end()
+        tag = m.group(2)
+        if not tag:  # comment / declaration
+            continue
+        tag = tag.lower()
+        closing = m.group(1) == "/"
+        if tag in SKIP_TAGS:
+            if not closing:
+                # raw-skip to the matching close tag (script/style bodies
+                # are not HTML; HTMLParser does the same via CDATA mode)
+                end = text.find(f"</{tag}", i)
+                i = n if end < 0 else text.find(">", end) + 1 or n
+            continue
+        if tag == "a":
+            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+            continue
+        if tag in BLOCK_TAGS:
+            flush()
+            if closing:
+                if tag in tag_stack:
+                    while tag_stack and tag_stack[-1] != tag:
+                        tag_stack.pop()
+                    if tag_stack:
+                        tag_stack.pop()
+            elif tag not in ("br", "hr"):
+                tag_stack.append(tag)
+    flush()
+    return blocks

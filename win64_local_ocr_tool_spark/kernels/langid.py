@@ -33,9 +33,12 @@ COUNT_FIELDS = ("n_en", "n_de", "n_hi", "n_sa", "n_deva", "n_tokens")
 def lang_counts(text: str) -> tuple[int, int, int, int, int, int]:
     """Marker counts for ``text``: (en, de, hi, sa, devanagari-tokens, tokens)."""
     n_en = n_de = n_hi = n_sa = n_deva = n_tok = 0
+    # one whole-text precheck spares the per-token Devanagari scan on
+    # pure-Latin documents (half the corpus)
+    has_deva = _DEVA.search(text) is not None
     for tok in _TOKEN.findall(text):
         n_tok += 1
-        if _DEVA.search(tok):
+        if has_deva and _DEVA.search(tok):
             n_deva += 1
             if tok in HI_MARKERS:
                 n_hi += 1

@@ -20,20 +20,26 @@ SHINGLE_W = 3  # words per shingle
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document."""
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - SHINGLE_W, F.lit(-1)))
+    """(doc_id, shingle) — distinct word 3-grams per document.
+
+    The words array is PROJECTED FIRST: referencing ``split(text)``
+    inside the transform lambda makes Catalyst re-evaluate the split per
+    element (3 splits x n shingles = O(n^2) per row — measured 27s vs
+    2s on 5k docs)."""
+    w = F.col("w")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - SHINGLE_W, F.lit(-1)))
     return (
-        docs.select(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select(
             "doc_id",
             F.explode(
                 F.transform(
                     idx,
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(words, i + 1),
-                        F.element_at(words, i + 2),
-                        F.element_at(words, i + 3),
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                        F.element_at(w, i + 3),
                     ),
                 )
             ).alias("shingle"),
