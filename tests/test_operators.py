@@ -62,6 +62,7 @@ def test_every_query_has_oracle_or_is_documented():
         "sim_ann_ivf",
         "extract_e2e",
         "extract_spans_long",
+        "extract_blocks_long",
         "media_metadata",
         "media_features",
     }

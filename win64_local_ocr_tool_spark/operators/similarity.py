@@ -214,6 +214,26 @@ def extract_e2e(spark, sf_dir):
     )
 
 
+@query("extract_blocks_long")
+def extract_blocks_long(spark, sf_dir):
+    """The tokenize stage surfaced as the FIXTURES.md §3 blocks long
+    table (url, block_id, tag, depth, pos, text_len, link_text_len) —
+    one row per content unit, the analog of the reference's per-point
+    rows (segment_graph.py:100-102)."""
+    from ..corpus import corpus_df
+    from ..staged import tokenize_to_blocks
+
+    docs = corpus_df(spark, 300)
+    return (
+        tokenize_to_blocks(docs)
+        .filter(F.col("block_id") >= 0)
+        .select(
+            "url", "block_id", "tag", "depth", "pos",
+            "text_len", "link_text_len",
+        )
+    )
+
+
 @query("extract_spans_long")
 def extract_spans_long(spark, sf_dir):
     """Exploded spans table (url, span_id, char_start, char_end) — the

@@ -271,6 +271,100 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 5  # winnowing window (k-grams)
+
+
+@query(
+    "doc_fingerprint_winnow",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, u.pos, md5(u.gram) AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 0)),
+                 i -> struct_pack(pos := i - 1,
+                                  gram := substr(text, i, {WINNOW_K})))) AS u
+        FROM documents
+      )
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wins
+    """,
+)
+def doc_fingerprint_winnow(spark, sf_dir):
+    """Document fingerprinting by winnowing (rolling k-gram hashes, min
+    per sliding window, distinct) — the standard local-fingerprint
+    scheme for plagiarism/near-dup detection, fully relational: explode
+    k-grams -> windowed min -> distinct. Hashes are md5 strings
+    (engine-portable ordering)."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - WINNOW_K, F.lit(-1))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.col("text").substr(i + 1, F.lit(WINNOW_K))),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        grams.select("doc_id", "pos", "h")
+        .withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.25
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bounded id range keeps the
+    sandbox check cheap; the scale path replaces the theta self-join
+    with the IVF cell join in operators/similarity.py)."""
+    from .similarity import _cos_expr
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos6 = F.round(_cos_expr(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos6 >= 0.25)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos_expr(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+        )
+    )
+
+
 @query(
     "text_token_count",
     r"""

@@ -1,0 +1,206 @@
+"""Stage-table pipeline: tokenize -> blocks checkpoint -> classify+assemble.
+
+The reference materializes every stage to disk (heatmap JPEGs, points
+txt, labels txt — SURVEY S3-S6); this is that design done right: each
+stage writes a columnar stage table partitioned by the deterministic
+``partition_key``, appends per-partition lineage, and the next stage
+reads the table back. A killed job resumes at (stage, partition)
+granularity; a stage's output is reusable by other consumers (the
+blocks table IS the FIXTURES.md §3 schema).
+
+Trade-off vs the single-pass pipeline (``pipeline.run_extraction``):
+one extra table write/read plus ONE shuffle (groupBy url for assembly)
+in exchange for stage-level restart and inspectability. Both produce
+byte-identical output (tested).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .kernels.assemble import spans_from_flags
+from .kernels.classify import classify_blocks
+from .kernels.htmlblocks import Block
+from .kernels.langid import detect_lang
+from .lineage import append_lineage, prune_done, with_partition_key
+from .operators.extract import EXTRACTED_SCHEMA, tokenize_payload
+
+STAGE_TOKENIZE = "tokenize"
+STAGE_ASSEMBLE = "assemble"
+
+# FIXTURES.md §3 blocks schema + dispatch bookkeeping. block_id = -1 is
+# the per-document sentinel row (carries kind for empty/corrupt docs).
+BLOCKS_SCHEMA = (
+    "url string, kind string, block_id int, tag string, depth int, "
+    "pos int, text string, text_len int, link_text_len int"
+)
+
+
+def tokenize_to_blocks(docs: DataFrame) -> DataFrame:
+    """Stage 1: payload -> block long table (one row per content unit,
+    plus one sentinel row per document)."""
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "kind", "block_id", "tag", "depth", "pos",
+            "text", "text_len", "link_text_len",
+        ]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                kind, blocks = tokenize_payload(bytes(payload))
+                rows.append(
+                    {"url": url, "kind": kind, "block_id": -1, "tag": "",
+                     "depth": 0, "pos": 0, "text": "", "text_len": 0,
+                     "link_text_len": 0}
+                )
+                for b in blocks:
+                    rows.append(
+                        {"url": url, "kind": kind, "block_id": b.block_id,
+                         "tag": b.tag, "depth": b.depth, "pos": b.pos,
+                         "text": b.text, "text_len": b.text_len,
+                         "link_text_len": b.link_text_len}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(tok, schema=BLOCKS_SCHEMA)
+
+
+def assemble_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Stage 2: blocks grouped per url -> classify -> spans -> extracted.
+
+    The one shuffle of the staged design (groupBy url); group sizes are
+    bounded by document size, and the shuffled payload is the derived
+    block stream, not raw html."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        kind = pdf["kind"].iloc[0]
+        if kind == "error":
+            return pd.DataFrame(
+                [{"url": url, "status": "error", "extracted_text": "",
+                  "spans": [], "lang": "und"}]
+            )
+        core = pdf[pdf["block_id"] >= 0].sort_values("block_id")
+        blocks_list = [
+            Block(
+                block_id=int(r.block_id), tag=r.tag, depth=int(r.depth),
+                pos=int(r.pos), text=r.text, text_len=int(r.text_len),
+                link_text_len=int(r.link_text_len),
+            )
+            for r in core.itertuples()
+        ]
+        flags = (
+            [True] * len(blocks_list)
+            if kind == "pdf"
+            else classify_blocks(blocks_list)
+        )
+        text, spans = spans_from_flags(blocks_list, flags)
+        return pd.DataFrame(
+            [{
+                "url": url,
+                "status": "ok",
+                "extracted_text": text,
+                "spans": [
+                    {"span_id": s, "char_start": a, "char_end": b}
+                    for (s, a, b) in spans
+                ],
+                "lang": detect_lang(text),
+            }]
+        )
+
+    return blocks.groupBy("url").applyInPandas(assemble, schema=EXTRACTED_SCHEMA)
+
+
+def run_staged_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    work_dir: str,
+    *,
+    lineage_dir: str | None = None,
+    resume: bool = False,
+    n_buckets: int = 64,
+) -> dict:
+    """documents -> blocks table -> extracted table, with per-stage
+    lineage + resume."""
+    lineage_dir = lineage_dir or f"{work_dir}/lineage"
+    blocks_dir = f"{work_dir}/blocks"
+    out_dir = f"{work_dir}/extracted"
+    stats: dict = {}
+
+    # ---- stage 1: tokenize -> blocks checkpoint ----
+    keyed = with_partition_key(docs, n_buckets)
+    todo = keyed
+    if resume:
+        todo, pruned = prune_done(keyed, spark, lineage_dir, STAGE_TOKENIZE)
+        stats["tokenize_pruned"] = pruned
+    t0 = time.monotonic()
+    blocks = with_partition_key(
+        tokenize_to_blocks(todo.select("url", "html")), n_buckets
+    )
+    blocks.write.mode("overwrite").partitionBy("partition_key").parquet(blocks_dir)
+    wall1 = int((time.monotonic() - t0) * 1000)
+    written = spark.read.schema(BLOCKS_SCHEMA + ", partition_key int").parquet(
+        blocks_dir
+    )
+    per_key = written.filter(F.col("block_id") == -1).groupBy(
+        "partition_key"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("kind") == "error").cast("long")).alias("n_errors"),
+    )
+    if resume:
+        from .lineage import done_keys
+
+        done = done_keys(spark, lineage_dir, STAGE_TOKENIZE)
+        if done is not None:
+            per_key = per_key.join(F.broadcast(done), "partition_key", "left_anti")
+    if per_key.count() > 0:
+        append_lineage(spark, lineage_dir, STAGE_TOKENIZE, per_key, wall1)
+
+    # ---- stage 2: blocks -> extracted ----
+    blocks_in = spark.read.schema(BLOCKS_SCHEMA + ", partition_key int").parquet(
+        blocks_dir
+    )
+    todo2 = blocks_in
+    if resume:
+        todo2, pruned2 = prune_done(blocks_in, spark, lineage_dir, STAGE_ASSEMBLE)
+        stats["assemble_pruned"] = pruned2
+    t0 = time.monotonic()
+    extracted = with_partition_key(assemble_from_blocks(todo2), n_buckets)
+    extracted.write.mode("overwrite").partitionBy("partition_key").parquet(out_dir)
+    wall2 = int((time.monotonic() - t0) * 1000)
+    ext = spark.read.schema(EXTRACTED_SCHEMA + ", partition_key int").parquet(
+        out_dir
+    )
+    per_key2 = ext.groupBy("partition_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
+    )
+    if resume:
+        from .lineage import done_keys
+
+        done2 = done_keys(spark, lineage_dir, STAGE_ASSEMBLE)
+        if done2 is not None:
+            per_key2 = per_key2.join(
+                F.broadcast(done2), "partition_key", "left_anti"
+            )
+    n_new = per_key2.count()
+    if n_new > 0:
+        append_lineage(spark, lineage_dir, STAGE_ASSEMBLE, per_key2, wall2)
+
+    stats.update(
+        {
+            "blocks_dir": blocks_dir,
+            "out_dir": out_dir,
+            "lineage_dir": lineage_dir,
+            "n_docs": ext.count(),
+            "assemble_partitions_new": n_new,
+        }
+    )
+    return stats
