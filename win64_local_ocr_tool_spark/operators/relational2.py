@@ -167,6 +167,129 @@ def c11_json_extract(spark, sf_dir):
 
 
 @query(
+    "c2_collapse_runs",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, event_id, event_type
+    FROM x WHERE prev IS NULL OR event_type <> prev
+    """,
+)
+def c2_collapse_runs(spark, sf_dir):
+    """Run-length collapse — the relational form of CTC greedy decoding
+    (drop repeats, reference recognition/utils.py:39-50): keep a row
+    only where its value differs from its predecessor."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.withColumn("prev", F.lag("event_type").over(w))
+    return x.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    ).select("user_id", "event_id", "event_type")
+
+
+@query(
+    "j4_knn_self_join",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id < 60),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.e, b.e), 6) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM d
+    )
+    SELECT src, dst, round(cos, 4) AS cosine, rn FROM r WHERE rn <= 3
+    """,
+)
+def j4_knn_self_join(spark, sf_dir):
+    """kNN self-join: every point joined to its k nearest neighbors
+    (reference: per-point 6-NN KD-tree, LayoutGraphGenerator.js:185-191).
+    Bounded here; at scale the same shape runs per-bucket after an LSH/
+    IVF partitioning (see sim_ann_ivf)."""
+    from .similarity import _cos_expr
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(_cos_expr(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", F.round("cos", 4).alias("cosine"), "rn")
+    )
+
+
+@query(
+    "o5_min_by_reduce",
+    """
+    SELECT user_id,
+           arg_min(event_id, CAST(round(value * 10000, 0) AS BIGINT)
+                             * 10000000000 + event_id) AS cheapest_event,
+           arg_max(event_id, CAST(round(value * 10000, 0) AS BIGINT)
+                             * 10000000000 + event_id) AS priciest_event
+    FROM events GROUP BY user_id
+    """,
+)
+def o5_min_by_reduce(spark, sf_dir):
+    """min-by / max-by reduce (reference: pick the neighbor pair
+    minimizing total length, LayoutGraphGenerator.js:252-255). The BY
+    key is (scaled value, id) packed into one integer: value ties ARE
+    present per group, and min_by on a bare float is nondeterministic
+    under ties (and neither engine takes a composite key portably)."""
+    ev = load(spark, sf_dir, "events")
+    key = (
+        F.round(F.col("value") * 10000, 0).cast("long") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).alias("cheapest_event"),
+        F.max_by("event_id", key).alias("priciest_event"),
+    )
+
+
+@query(
+    "incremental_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_window(spark, sf_dir):
+    """Tumbling-window aggregation on event time — the incremental-
+    ingestion shape (SURVEY §2.9: would be readStream + window +
+    watermark in streaming; the engine's design is batch-with-resume,
+    and the window agg itself is identical)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
     "o2_numeric_key_sort",
     """
     SELECT doc_id, source,
