@@ -49,6 +49,27 @@ def test_mega_path_handles_pdf_and_corrupt(spark):
         assert g["lang"] == want["lang"]
 
 
+def test_true_giant_document(spark):
+    """A multi-MB document (the real reason the distributed path
+    exists) goes through chunk split/reassembly byte-identically."""
+    from win64_local_ocr_tool_spark.corpus import _html_page, _nfc
+    import random
+
+    rng = random.Random("giant:1")
+    html, intent = _html_page(rng, "en", n_paras=25_000)  # ~5 MB
+    assert len(html) > 4 << 20
+    want = extract_document(html)
+    assert want["extracted_text"] == "".join(t + "\n" for t in intent)
+
+    docs = spark.createDataFrame(
+        [("https://giant.example/1", html)], schema="url string, html binary"
+    )
+    got = extract_mega(docs, chunk_blocks=500).collect()[0]
+    assert got["extracted_text"] == want["extracted_text"]
+    assert len(got["spans"]) == len(want["spans"]) == 25_000
+    assert got["lang"] == want["lang"] == "en"
+
+
 def test_dispatch_routes_by_size(spark):
     """extract_all with distributed skew enabled: the union of both
     paths covers every input exactly once."""

@@ -35,7 +35,7 @@ def run_extraction(
     lineage_dir: str | None = None,
     resume: bool = False,
     n_buckets: int = 64,
-    mega_bytes: int | None = None,
+    mega_bytes: int | None = 8 << 20,
     chunk_blocks: int = 200,
     run_id: str | None = None,
 ) -> dict:
@@ -45,6 +45,12 @@ def run_extraction(
     ``partition_key`` and appends lineage; returns stats. Without it,
     returns the lazy extracted DataFrame (no materialization) — the
     driver-contract path.
+
+    ``mega_bytes`` defaults to 8 MiB: Arrow batches are bounded by ROW
+    COUNT, so documents beyond a few MB must leave the batched normal
+    path (a 256-row batch of 100 MB payloads would OOM a Python
+    worker) and take the distributed chunk path, which also spreads a
+    single giant document across tasks (SURVEY §7.5 item 4).
     """
     docs = with_partition_key(docs, n_buckets)
 
