@@ -37,6 +37,9 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--mega-bytes", type=int, default=None,
                     help="enable distributed skew path above this size")
     ex.add_argument("--chunk-blocks", type=int, default=200)
+    ex.add_argument("--commit-batches", type=int, default=None,
+                    help="write+log the bucket keyspace in K groups so a "
+                         "killed job loses at most one group")
     ex.add_argument("--master", default=None)
     return p
 
@@ -65,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             mega_bytes=args.mega_bytes,
             chunk_blocks=args.chunk_blocks,
+            commit_batches=args.commit_batches,
         )
         print(json.dumps(stats))
         return 0

@@ -38,6 +38,7 @@ def run_extraction(
     mega_bytes: int | None = 8 << 20,
     chunk_blocks: int = 200,
     run_id: str | None = None,
+    commit_batches: int | None = None,
 ) -> dict:
     """Run the extraction pipeline.
 
@@ -51,69 +52,87 @@ def run_extraction(
     path (a 256-row batch of 100 MB payloads would OOM a Python
     worker) and take the distributed chunk path, which also spreads a
     single giant document across tasks (SURVEY §7.5 item 4).
+
+    ``commit_batches=K``: process the bucket keyspace in K groups, each
+    written AND lineage-logged before the next starts — a SIGKILLed job
+    loses at most the in-flight group instead of the whole run (the
+    partition-granular kill/resume the north rule demands; tested with
+    a real SIGKILL in tests/test_kill_resume.py). Cost: the source is
+    scanned once per group when it isn't physically partitioned by the
+    key — on a production Iceberg table bucketed by hash(url) each
+    group prunes to its own files and the extra scans disappear.
     """
+    from .lineage import done_keys
+    from .operators.extract import EXTRACTED_SCHEMA
+
     docs = with_partition_key(docs, n_buckets)
 
     n_pruned = 0
+    done_before: set[int] = set()
     if resume and lineage_dir:
-        docs, n_pruned = prune_done(docs, spark, lineage_dir, STAGE_EXTRACT)
-
-    extracted = extract_all(
-        docs.select("partition_key", "url", "html"),
-        mega_bytes=mega_bytes,
-        chunk_blocks=chunk_blocks,
-    )
-    # extract_all consumes (url, html); re-attach the key derivably (no
-    # join needed — the key is a pure function of url).
-    extracted = with_partition_key(extracted, n_buckets)
-
-    if out_dir is None:
-        return {"extracted": extracted, "pruned_partitions": n_pruned}
-
-    t0 = time.monotonic()
-    (
-        extracted.write.mode("overwrite")
-        .partitionBy("partition_key")
-        .parquet(out_dir)
-    )
-    wall_ms = int((time.monotonic() - t0) * 1000)
-
-    # Per-partition counters from the just-written columnar output: a
-    # cheap scan of two thin columns, never the text. Explicit schema:
-    # an empty run writes no parquet footers to infer from.
-    from .operators.extract import EXTRACTED_SCHEMA
-
-    written = spark.read.schema(
-        EXTRACTED_SCHEMA + ", partition_key int"
-    ).parquet(out_dir)
-    if resume and lineage_dir:
-        # only the partitions processed in THIS run
-        from .lineage import done_keys
-
         done = done_keys(spark, lineage_dir, STAGE_EXTRACT)
         if done is not None:
-            written = written.join(
-                F.broadcast(done), "partition_key", "left_anti"
+            done_before = {r["partition_key"] for r in done.collect()}
+        n_pruned = len(done_before)
+        if done_before:
+            docs = docs.filter(~F.col("partition_key").isin(*done_before))
+
+    def extract(subset):
+        ext = extract_all(
+            subset.select("partition_key", "url", "html"),
+            mega_bytes=mega_bytes,
+            chunk_blocks=chunk_blocks,
+        )
+        # extract_all consumes (url, html); re-attach the key derivably
+        # (no join — the key is a pure function of url).
+        return with_partition_key(ext, n_buckets)
+
+    if out_dir is None:
+        return {"extracted": extract(docs), "pruned_partitions": n_pruned}
+
+    # bucket groups: one group = one write+lineage commit unit
+    todo_keys = [k for k in range(n_buckets) if k not in done_before]
+    k_groups = max(1, min(commit_batches or 1, len(todo_keys) or 1))
+    step = -(-len(todo_keys) // k_groups) if todo_keys else 1
+    groups = [todo_keys[i : i + step] for i in range(0, len(todo_keys), step)]
+
+    n_docs = n_errors = n_parts = 0
+    wall_total = 0
+    for gi, keys in enumerate(groups):
+        subset = (
+            docs
+            if len(groups) == 1
+            else docs.filter(F.col("partition_key").isin(*keys))
+        )
+        t0 = time.monotonic()
+        (
+            extract(subset)
+            .write.mode("overwrite")
+            .partitionBy("partition_key")
+            .parquet(out_dir)
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        wall_total += wall_ms
+
+        # Per-partition counters from the just-written columnar output:
+        # a cheap scan of two thin columns, never the text. Explicit
+        # schema: an empty run writes no parquet footers to infer from.
+        written = spark.read.schema(
+            EXTRACTED_SCHEMA + ", partition_key int"
+        ).parquet(out_dir).filter(F.col("partition_key").isin(*keys))
+        per_key = written.groupBy("partition_key").agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
+        )
+        rows = per_key.collect()
+        for r in rows:
+            n_parts += 1
+            n_docs += r["n_rows"]
+            n_errors += r["n_errors"]
+        if lineage_dir and rows:
+            per_key_df = spark.createDataFrame(
+                rows, schema="partition_key int, n_rows long, n_errors long"
             )
-    per_key = written.groupBy("partition_key").agg(
-        F.count("*").alias("n_rows"),
-        F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
-    )
-
-    n_docs = 0
-    n_errors = 0
-    n_parts = 0
-    rows = per_key.collect()
-    for r in rows:
-        n_parts += 1
-        n_docs += r["n_rows"]
-        n_errors += r["n_errors"]
-
-    if lineage_dir:
-        per_key_df = spark.createDataFrame(
-            rows, schema="partition_key int, n_rows long, n_errors long"
-        ) if rows else None
-        if per_key_df is not None:
             append_lineage(
                 spark, lineage_dir, STAGE_EXTRACT, per_key_df, wall_ms, run_id
             )
@@ -124,5 +143,6 @@ def run_extraction(
         "n_errors": int(n_errors),
         "n_partitions": n_parts,
         "pruned_partitions": n_pruned,
-        "wall_ms": wall_ms,
+        "commit_groups": len(groups),
+        "wall_ms": wall_total,
     }
