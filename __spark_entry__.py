@@ -21,6 +21,7 @@ from win64_local_ocr_tool_spark.operators import (  # noqa: F401,E402
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     textops,
 )

@@ -59,6 +59,8 @@ def test_every_query_has_oracle_or_is_documented():
     """Every queries() entry either has an oracle or is one of the known
     non-SQL-expressible ops (driver records rows-only for those)."""
     rows_only_allowed = {
+        "o6_mst_kruskal",
+        "u4_dbscan_closure",
         "sim_ann_ivf",
         "extract_e2e",
         "extract_spans_long",

@@ -422,7 +422,8 @@ def w1_reading_order_rank(spark, sf_dir):
 )
 def w2_stable_row_number(spark, sf_dir):
     """Stable 1-based numbering within a partition (reference: line%03d,
-    segment_from_point_clusters.py:375-376)."""
+    segment_from_point_clusters.py:375-376; SURVEY W2 + O4 — the
+    explicit orderBy inside the window IS the sort-within-box prep)."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", F.row_number().over(w).alias("seq")
@@ -446,7 +447,7 @@ def w2_stable_row_number(spark, sf_dir):
 )
 def w3_lag_boundary(spark, sf_dir):
     """Lag-based boundary detection (reference: label-change midpoint
-    split, segment_from_point_clusters.py:82-95)."""
+    split, segment_from_point_clusters.py:82-95; SURVEY W3)."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     x = ev.withColumn("prev_type", F.lag("event_type").over(w))

@@ -212,9 +212,10 @@ def c2_collapse_runs(spark, sf_dir):
 )
 def j4_knn_self_join(spark, sf_dir):
     """kNN self-join: every point joined to its k nearest neighbors
-    (reference: per-point 6-NN KD-tree, LayoutGraphGenerator.js:185-191).
-    Bounded here; at scale the same shape runs per-bucket after an LSH/
-    IVF partitioning (see sim_ann_ivf)."""
+    (reference: per-point 6-NN KD-tree, LayoutGraphGenerator.js:185-191;
+    SURVEY J4 + W6 — the rn <= k window filter IS the top-k-per-point
+    operator). Bounded here; at scale the same shape runs per-bucket
+    after an LSH/IVF partitioning (see sim_ann_ivf)."""
     from .similarity import _cos_expr
 
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
@@ -301,8 +302,9 @@ def incremental_window(spark, sf_dir):
 )
 def o2_numeric_key_sort(spark, sf_dir):
     """Numeric-aware sort of formatted string keys (reference: natsorted
-    line files, dataset.py:234 — the design lesson is to sort on the
-    parsed integer, never the string)."""
+    line files, dataset.py:234, and numeric page/line key sort,
+    annotationStore.js:22-34; SURVEY O2 + O7 — the design lesson is to
+    sort on the parsed integer, never the string)."""
     d = load(spark, sf_dir, "documents")
     src_num = F.substring("source", 4, 10).cast("int")
     return (

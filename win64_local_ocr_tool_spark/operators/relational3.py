@@ -1,0 +1,308 @@
+"""Third tranche of SURVEY.md §2 operators: the remaining filter /
+aggregate / sort / set-op rows (F2, F3, F6, F8, A1, O1, O3) plus the two
+in-UDF graph kernels (O6 Kruskal MST, U4 DBSCAN) that have no SQL twin.
+
+Every oracle follows the registry column-name discipline; the two
+rows-only kernels are pure-numpy (no scipy/sklearn in this runtime),
+deterministic under row permutation and partitioning, and property-
+tested in tests/test_graph_kernels.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .tables import load
+
+
+@query(
+    "f2_binarize_mask",
+    """
+    SELECT event_id, CAST(value > 50.0 AS INTEGER) AS is_dense
+    FROM events
+    """,
+)
+def f2_binarize_mask(spark, sf_dir):
+    """Binarize predicate -> boolean mask column (reference: threshold
+    100/255 over the score plane, segment_from_point_clusters.py:13-14;
+    SURVEY F2). The mask stays a column — F1 is the variant that also
+    filters."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", (F.col("value") > 50.0).cast("int").alias("is_dense")
+    )
+
+
+@query(
+    "f3_null_label_filter",
+    """
+    SELECT kept_label, count(*) AS n
+    FROM (SELECT NULLIF(l_returnflag, 'N') AS kept_label FROM lineitem)
+    WHERE kept_label IS NOT NULL
+    GROUP BY kept_label
+    """,
+)
+def f3_null_label_filter(spark, sf_dir):
+    """Null-label drop (reference: points labeled None are filtered at
+    read, segment_from_point_clusters.py:38-42; SURVEY F3): nullify the
+    majority class, keep only labeled rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("kept_label"))
+        .filter(F.col("kept_label").isNotNull())
+        .groupBy("kept_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f6_projection_prune",
+    """
+    SELECT p_partkey, p_size FROM part WHERE p_size >= 30
+    """,
+)
+def f6_projection_prune(spark, sf_dir):
+    """Column projection (reference: keep one channel / cols 0:2,
+    segment_from_point_clusters.py:351-354; SURVEY F6). The point at
+    scale: Catalyst prunes the scan to ReadSchema(p_partkey, p_size) and
+    pushes p_size >= 30 into the parquet reader — a wide table costs
+    only the two columns read (gated in tests/test_plans.py)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 30)
+        .select("p_partkey", "p_size")
+    )
+
+
+@query(
+    "f8_outlier_mask",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    JOIN r ON e.user_id = r.user_id AND e.event_type = r.event_type
+    WHERE r.rn = 1
+    """,
+)
+def f8_outlier_mask(spark, sf_dir):
+    """Majority-cluster outlier mask (reference: drop edges whose DBSCAN
+    label is -1 / keep only the majority cluster,
+    LayoutGraphGenerator.js:296-323; SURVEY F8 + A6): rows outside their
+    group's majority class are the outliers and are dropped. Ties on the
+    count break on the class name — row_number, never bare arg_max, so
+    both engines pick the same winner. The majority table is tiny (one
+    row per user) -> broadcast-joined back; no second shuffle of the
+    fact side at scale."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    majority = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    return ev.join(F.broadcast(majority), ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "a1_component_avg",
+    """
+    SELECT label AS component, count(*) AS n,
+           round(avg(CAST(vec_id AS DOUBLE)), 4) AS avg_id
+    FROM embeddings GROUP BY label
+    """,
+)
+def a1_component_avg(spark, sf_dir):
+    """Per-component mean position (reference: mean y per connected
+    component orders the lines, segment_graph.py:291-295; SURVEY A1).
+    Averaging an integer column keeps the sum exact, so the rounded
+    mean is identical math on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("vec_id").cast("double")), 4).alias("avg_id"),
+    )
+
+
+@query(
+    "o1_lexicographic_rank",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY source, doc_id) AS pos
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def o1_lexicographic_rank(spark, sf_dir):
+    """Deterministic lexicographic ordering with materialized position
+    (reference: sorted dir listing fixes page order,
+    segmentation/utils.py:21; SURVEY O1). The single-partition global
+    window is deliberate and bounded (doc_id < 200) — at corpus scale a
+    global ordinal is a range-partitioned sort (orderBy writes
+    range-partitioned output; per-document ids never need it)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = W.orderBy("source", "doc_id")
+    return d.select("doc_id", "source", F.row_number().over(w).alias("pos"))
+
+
+@query(
+    "o3_sorted_array",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(event_id)), ',') AS ordered_ids
+    FROM events GROUP BY user_id
+    """,
+)
+def o3_sorted_array(spark, sf_dir):
+    """Sort collected array contents (reference: sort line centers by x
+    for reading order, segment_from_point_clusters.py:134; SURVEY O3).
+    array_sort runs after collect_list so the result is independent of
+    partition arrival order; serialized to one string column because the
+    driver hashes scalar values."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(arr, lambda x: x.cast("string")), ","
+        ).alias("ordered_ids")
+    )
+
+
+def _mst_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Kruskal MST over one component's complete cosine-distance graph.
+
+    Pure numpy + union-find; weights are integer micro-units so the
+    edge sort (w, src, dst) is exact — no float-tie nondeterminism."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(
+            {"component": pdf["label"][:0], "src": ids[:0], "dst": ids[:0],
+             "w_micro": np.array([], dtype=np.int64)}
+        )
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    sims = (X @ X.T) / np.outer(norms, norms)
+    dist = np.rint((1.0 - sims) * 1_000_000).astype(np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    order = np.lexsort((ju, iu, dist[iu, ju]))
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    src, dst, wts = [], [], []
+    for k in order:
+        a, b = int(iu[k]), int(ju[k])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            src.append(ids[a])
+            dst.append(ids[b])
+            wts.append(int(dist[a, b]))
+            if len(src) == n - 1:
+                break
+    return pd.DataFrame(
+        {
+            "component": [int(pdf["label"].iloc[0])] * len(src),
+            "src": src,
+            "dst": dst,
+            "w_micro": wts,
+        }
+    )
+
+
+@query("o6_mst_kruskal")
+def o6_mst_kruskal(spark, sf_dir):
+    """Kruskal minimum-spanning-tree per component (reference: hover-MST
+    connect with Kruskal + disjoint-set union,
+    new-SemiSegmentationSection.vue:573-657; SURVEY O6). Graphs never
+    cross a component, so the whole kernel lives in one applyInPandas
+    group — one shuffle on the grouping key, no iterative joins, no
+    GraphFrames. Edge weights are integer micronits of cosine distance;
+    the (w, src, dst) lexsort makes the tree unique. Rows-only driver
+    check (MST is not ANSI-SQL-expressible); minimality and edge-count
+    invariants are pytest-gated."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        _mst_edges,
+        schema="component int, src long, dst long, w_micro long",
+    )
+
+
+def _dbscan_members(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-numpy DBSCAN over one group's 2-D feature points.
+
+    eps/minPts closure via boolean matrix BFS; cluster ids are
+    renumbered by each cluster's minimum vec_id so the labeling is
+    invariant to row order and partitioning. Noise = -1."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)[:, :2] * 10.0
+    n = len(ids)
+    eps, min_pts = 4.0, 3
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    nbr = d2 <= eps * eps
+    core = nbr.sum(axis=1) >= min_pts
+    cluster = np.full(n, -1, dtype=np.int64)
+    cid = 0
+    for i in range(n):
+        if cluster[i] != -1 or not core[i]:
+            continue
+        frontier = {i}
+        members = set()
+        while frontier:
+            j = frontier.pop()
+            if j in members:
+                continue
+            members.add(j)
+            if core[j]:
+                frontier |= set(np.flatnonzero(nbr[j])) - members
+        for j in members:
+            cluster[j] = cid
+        cid += 1
+    remap = {}
+    for c in range(cid):
+        remap[c] = int(ids[np.flatnonzero(cluster == c)].min())
+    out = np.array([remap[c] if c >= 0 else -1 for c in cluster], dtype=np.int64)
+    return pd.DataFrame(
+        {"component": pdf["label"], "vec_id": ids, "cluster": out}
+    )
+
+
+@query("u4_dbscan_closure")
+def u4_dbscan_closure(spark, sf_dir):
+    """DBSCAN density-reachable closure per group (reference:
+    neighbor-set union closure inside DBSCAN,
+    LayoutGraphGenerator.js:162-170; SURVEY U4 — f8_outlier_mask is the
+    downstream relational consumer of these labels). Document-local like
+    every graph op here, so it is one applyInPandas group; cluster ids
+    are canonicalized to the minimum member vec_id, making output
+    independent of partition count (pytest-gated). Rows-only driver
+    check (iterative closure is not ANSI-SQL)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        _dbscan_members, schema="component int, vec_id long, cluster long"
+    )
