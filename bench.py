@@ -60,7 +60,9 @@ def corpus_docs_for_sf(sf: float) -> int:
 def ensure_corpus(spark, n: int) -> str:
     """Deterministic corpus parquet, cached across runs (same bytes for
     any parallelism — property-tested)."""
-    path = f"/tmp/spark_graft_corpus/n{n}_seed{SEED}"
+    from win64_local_ocr_tool_spark.corpus import CORPUS_VERSION
+
+    path = f"/tmp/spark_graft_corpus/v{CORPUS_VERSION}_n{n}_seed{SEED}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from win64_local_ocr_tool_spark.corpus import corpus_df

@@ -129,10 +129,10 @@ def run_level(cpus: int, corpus: str) -> dict:
 
 def main() -> None:
     sys.path.insert(0, REPO)
-    from win64_local_ocr_tool_spark.corpus import corpus_df
+    from win64_local_ocr_tool_spark.corpus import CORPUS_VERSION, corpus_df
     from win64_local_ocr_tool_spark.session import get_spark
 
-    corpus = f"/tmp/spark_graft_corpus/n{N_DOCS}_seed42_p256"
+    corpus = f"/tmp/spark_graft_corpus/v{CORPUS_VERSION}_n{N_DOCS}_seed42_p256"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         spark = get_spark("gen", master="local[32]")
         # 256 output files: row-group granularity fine enough that every

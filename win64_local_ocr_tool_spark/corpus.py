@@ -18,14 +18,23 @@ Row mix (FIXTURES.md §1):
 - every 211th row: synthetic-PDF glyph payload (fallback path)
 - every 997th row: mega-page ~50-100x median size (skew-split path,
   cf. tall-box splitting ``segment_old_method.py:23-37``)
+- every 353rd row: gzip-compressed page (ingest decompression, S2)
+- every 379th row: windows-1252 page with declared meta charset
+  (charset recovery, S2)
+- every 457th row: utf-16-LE page with BOM (charset recovery, S2)
 - otherwise: templated HTML with link-dense boilerplate around
   main-content paragraphs (the reference's "diverse layouts",
   ``README.md:8``).
+
+``CORPUS_VERSION`` keys every on-disk corpus cache — bump it whenever
+generation changes so stale parquet can never masquerade as current.
 """
 
 from __future__ import annotations
 
+import codecs
 import datetime as _dt
+import gzip
 import random
 import unicodedata
 
@@ -33,6 +42,7 @@ from .kernels.htmlblocks import tokenize_html
 from .kernels.pdfglyphs import parse_pdf_payload, render_pdf_payload
 
 SEED = 42
+CORPUS_VERSION = 2
 EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
 LANGS = ("en", "hi", "de", "sa")
@@ -91,9 +101,11 @@ def _links(rng: random.Random, lang: str, n: int) -> str:
     )
 
 
-def _html_page(rng: random.Random, lang: str, n_paras: int) -> tuple[bytes, list[str]]:
-    """Returns (payload, intended-main-paragraphs). The second element is
-    the generator's intent — what a correct extractor should recover —
+def _html_page_text(
+    rng: random.Random, lang: str, n_paras: int
+) -> tuple[str, list[str]]:
+    """Returns (page text, intended-main-paragraphs). The second element
+    is the generator's intent — what a correct extractor should recover —
     used only by sanity tests (golden truth itself is the single-process
     extractor's output, FIXTURES.md §2)."""
     title = " ".join(rng.choice(_WORDS[lang]) for _ in range(rng.randint(3, 6)))
@@ -130,7 +142,12 @@ def _html_page(rng: random.Random, lang: str, n_paras: int) -> tuple[bytes, list
     parts.append('<div class="footer">')
     parts.append(_links(rng, lang, rng.randint(3, 6)))
     parts.append(f"<p>© 2025 {rng.choice(_WORDS[lang])}</p></div></body></html>")
-    return _nfc("".join(parts)).encode("utf-8"), mains
+    return _nfc("".join(parts)), mains
+
+
+def _html_page(rng: random.Random, lang: str, n_paras: int) -> tuple[bytes, list[str]]:
+    text, mains = _html_page_text(rng, lang, n_paras)
+    return text.encode("utf-8"), mains
 
 
 def _pdf_page(rng: random.Random, lang: str) -> bytes:
@@ -172,6 +189,35 @@ def gen_row_with_intent(i: int, seed: int = SEED) -> tuple[dict, list[str]]:
     elif i % 997 == 0 and i > 0:
         html, intent = _html_page(rng, lang, n_paras=rng.randint(250, 400))
         visible = " ".join(b.text for b in tokenize_html(html))
+    elif i % 353 == 0 and i > 0:
+        # gzip transport compression (ingest decompression path, S2);
+        # mtime=0 keeps the member header deterministic
+        text, intent = _html_page_text(rng, lang, n_paras=rng.randint(1, 12))
+        utf8 = text.encode("utf-8")
+        html = gzip.compress(utf8, mtime=0)
+        visible = " ".join(b.text for b in tokenize_html(utf8))
+    elif i % 379 == 0 and i > 0:
+        # legacy single-byte charset with declared <meta charset=...>
+        # (charset recovery path, S2); forced to de — cp1252 cannot
+        # encode Devanagari, and de text carries multi-byte umlauts so
+        # the cp1252 bytes are genuinely NOT valid utf-8
+        lang = "de"
+        text, intent = _html_page_text(rng, lang, n_paras=rng.randint(1, 8))
+        text = text.replace(
+            "<head>", '<head><meta charset="windows-1252">', 1
+        )
+        quote_text = _nfc(f"Größe für Bäume — „{rng.choice(_WORDS['de'])}“ 5 €")
+        text = text.replace(
+            '<div class="main">', f'<div class="main"><p>{quote_text}</p>', 1
+        )
+        intent.insert(0, quote_text)
+        html = text.encode("windows-1252")
+        visible = " ".join(b.text for b in tokenize_html(text.encode("utf-8")))
+    elif i % 457 == 0 and i > 0:
+        # utf-16-LE with BOM (charset recovery path, S2)
+        text, intent = _html_page_text(rng, lang, n_paras=rng.randint(1, 10))
+        html = codecs.BOM_UTF16_LE + text.encode("utf-16-le")
+        visible = " ".join(b.text for b in tokenize_html(text.encode("utf-8")))
     else:
         html, intent = _html_page(rng, lang, n_paras=rng.randint(1, 12))
         visible = " ".join(b.text for b in tokenize_html(html))

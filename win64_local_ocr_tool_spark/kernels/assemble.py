@@ -19,6 +19,7 @@ import unicodedata
 from .classify import classify_blocks
 from .htmlblocks import Block
 from .htmlscan import scan_html
+from .ingest import maybe_decompress, recode_to_utf8
 from .langid import detect_lang
 from .pdfglyphs import PDF_MAGIC, parse_pdf_payload
 
@@ -33,7 +34,12 @@ def tokenize_payload(payload: bytes) -> tuple[str, list[Block]]:
     reading-ordered by the glyph clustering), flagged content by
     construction — the fallback path skips density classification, like
     the reference's old-method path skips the graph step.
+
+    Ingest normalization (SURVEY S2) happens first: transport
+    decompression by magic check, then — only if strict utf-8 parsing
+    fails — evidence-gated charset recovery (``kernels/ingest.py``).
     """
+    payload, _codec = maybe_decompress(payload)
     if payload.startswith(PDF_MAGIC):
         try:
             lines = parse_pdf_payload(payload)
@@ -61,7 +67,13 @@ def tokenize_payload(payload: bytes) -> tuple[str, list[Block]]:
         # pinned in tests), ~2x faster — the hot-loop choice.
         return ("html", scan_html(payload))
     except ValueError:
-        return ("error", [])
+        recoded = recode_to_utf8(payload)
+        if recoded is None:
+            return ("error", [])
+        try:
+            return ("html", scan_html(recoded))
+        except ValueError:
+            return ("error", [])
 
 
 def spans_from_flags(
