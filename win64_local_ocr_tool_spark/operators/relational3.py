@@ -181,6 +181,54 @@ def o3_sorted_array(spark, sf_dir):
     )
 
 
+@query(
+    "c7_math_functions",
+    """
+    SELECT event_id,
+           round(atan2(CAST(value AS DOUBLE),
+                       CAST(user_id + 1 AS DOUBLE)), 6) AS angle,
+           round(sqrt(CAST(value AS DOUBLE)), 6) AS magnitude,
+           to_base64(CAST(event_type AS BLOB)) AS b64
+    FROM events
+    """,
+)
+def c7_math_functions(spark, sf_dir):
+    """Math + encoding scalar kernels (reference: atan2/cos-sim/norms in
+    edge-feature construction, LayoutGraphGenerator.js:224-261, SURVEY
+    C7; base64 page serving, routes.py:116-119, SURVEY C10). Rounded at
+    6 decimals after identical double math on both engines."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return ev.select(
+        "event_id",
+        F.round(F.atan2(v, (F.col("user_id") + 1).cast("double")), 6).alias(
+            "angle"
+        ),
+        F.round(F.sqrt(v), 6).alias("magnitude"),
+        F.base64(F.col("event_type").cast("binary")).alias("b64"),
+    )
+
+
+@query(
+    "c12_json_serialize",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang,
+                               n_chars := n_chars)) AS doc_json
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def c12_json_serialize(spark, sf_dir):
+    """Struct -> JSON serialization (reference: graph persisted as a
+    JSON twin of the tensor form, segment_graph.py:174-188; SURVEY
+    C12)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc_json"),
+    )
+
+
 def _mst_edges(pdf: pd.DataFrame) -> pd.DataFrame:
     """Kruskal MST over one component's complete cosine-distance graph.
 
