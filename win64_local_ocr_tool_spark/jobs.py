@@ -41,6 +41,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="write+log the bucket keyspace in K groups so a "
                          "killed job loses at most one group")
     ex.add_argument("--master", default=None)
+
+    st = sub.add_parser(
+        "stream",
+        help="drain newly-arrived document files incrementally "
+             "(availableNow epochs; rerun to pick up later arrivals)",
+    )
+    st.add_argument("--input", required=True,
+                    help="directory where documents parquet files land")
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--lineage", default=None)
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--master", default=None)
     return p
 
 
@@ -49,6 +62,29 @@ def main(argv: list[str] | None = None) -> int:
     from .corpus import corpus_df
     from .pipeline import run_extraction
     from .session import get_spark
+
+    if args.cmd == "stream":
+        from .session import get_spark as _get_spark
+        from .streaming.incremental import (
+            incremental_extraction,
+            read_stream_output,
+        )
+
+        spark = _get_spark("stream-job", master=args.master)
+        try:
+            incremental_extraction(
+                spark,
+                args.input,
+                args.output,
+                args.checkpoint,
+                lineage_dir=args.lineage,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            n = read_stream_output(spark, args.output).count()
+            print(json.dumps({"out_dir": args.output, "total_rows": n}))
+            return 0
+        finally:
+            spark.stop()
 
     spark = get_spark("extract-job", master=args.master)
     try:

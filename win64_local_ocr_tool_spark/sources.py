@@ -1,0 +1,70 @@
+"""Source readers (SURVEY §2.1): the documented ways documents enter
+the engine.
+
+Reference analog: the folder scan (sorted dir listing with extension
+filter, ``segmentation/utils.py:16-38``, SURVEY S1) and upload ingest
+(``routes.py:63-81``, S2). At cluster scale the canonical source is the
+Iceberg/parquet ``documents`` table; for dev-time crawling a directory
+of raw page files, Spark's ``binaryFile`` source is the folder-scan
+twin. Payload-level normalization (decompression, charset recovery)
+deliberately does NOT happen here — it lives in ``kernels/ingest.py``
+inside the extraction UDF, so a source swap can never change extracted
+bytes.
+
+All readers pin an explicit schema: schema inference over 10^12 rows
+is a full-data pass, and an empty directory has no footers to infer
+from (the same reason ``pipeline.run_extraction`` reads its own output
+with an explicit schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import DOCUMENTS_SCHEMA
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical source: a parquet/Iceberg documents table.
+
+    Catalyst pushes column pruning + predicate pushdown into this scan
+    (verify: ``.explain`` shows ReadSchema/PushedFilters); partition /
+    bucket pruning applies when the table is laid out by
+    ``hash(url)`` buckets or ``warc_ts`` days.
+    """
+    return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
+def read_raw_pages(
+    spark: SparkSession,
+    directory: str,
+    *,
+    glob: str = "*.{html,htm,pdf,gz}",
+    lang: str = "",
+) -> DataFrame:
+    """Dev-time folder scan: raw page files -> documents-shaped rows.
+
+    The binaryFile source twin of the reference's sorted dir listing
+    with extension filter (S1): ``pathGlobFilter`` is the ``.png/.jpg``
+    allowlist, file path becomes the url, file mtime the crawl
+    timestamp. ``text`` is left empty — it is the *raw visible text*
+    column of the synthetic table, not something a raw file carries.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit("").alias("text"),
+        F.lit(lang).alias("lang"),
+    )
+
+
+def documents_from_rows(spark: SparkSession, rows) -> DataFrame:
+    """Small-corpus helper: python rows -> documents DataFrame with the
+    pinned schema (tests, notebooks)."""
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
