@@ -67,3 +67,20 @@ def test_resume_anti_join_is_broadcast(spark, tmp_path, sf_dir):
     assert n_done == 2
     plan = _plan(pruned)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_majority_mask_join_is_broadcast(spark, sf_dir):
+    """f8's tiny majority table (one row per group) must broadcast back
+    onto the fact side — no second shuffle of events."""
+    plan = _plan(entry.queries()["f8_outlier_mask"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_kernels_single_shuffle(spark, sf_dir):
+    """O6/U4 applyInPandas kernels: exactly one Exchange (the groupBy
+    key) — graphs never span groups, so no iterative joins appear."""
+    for name in ("o6_mst_kruskal", "u4_dbscan_closure"):
+        plan = _plan(entry.queries()[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, name
+        assert "FlatMapGroupsInPandas" in plan, name
