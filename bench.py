@@ -104,7 +104,11 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # headline value = query work only; one-time corpus materialization
+    # is setup, reported separately in the breakdown
+    total = round(
+        sum(v for k, v in timings.items() if k != "corpus_gen_or_cache"), 3
+    )
     print(
         json.dumps(
             {
