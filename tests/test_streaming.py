@@ -113,3 +113,23 @@ def test_windowed_counts_with_watermark(spark, dirs):
     stream_by_lang = got.groupby("lang")["n"].sum()
     for _, r in batch.iterrows():
         assert stream_by_lang[r["lang"]] == r["count"]
+
+
+def test_skip_seen_urls_drops_recrawls(spark, dirs):
+    """Re-crawled urls in later arrivals are dropped when
+    skip_seen_urls is on; fresh urls still extract."""
+    from win64_local_ocr_tool_spark.streaming.incremental import (
+        incremental_extraction as run,
+    )
+
+    _land(corpus_pandas(range(0, 60)), dirs["in"], "a.parquet")
+    run(spark, dirs["in"], dirs["out"], dirs["ckpt"], skip_seen_urls=True)
+    assert read_stream_output(spark, dirs["out"]).count() == 60
+
+    # second arrival: 40 re-crawls (0..39) + 30 fresh (60..89)
+    overlap = corpus_pandas(list(range(0, 40)) + list(range(60, 90)))
+    _land(overlap, dirs["in"], "b.parquet")
+    run(spark, dirs["in"], dirs["out"], dirs["ckpt"], skip_seen_urls=True)
+    got = read_stream_output(spark, dirs["out"]).toPandas()
+    assert len(got) == 90
+    assert got["url"].is_unique
