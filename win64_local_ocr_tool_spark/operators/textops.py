@@ -459,3 +459,78 @@ def text_langid_heuristic(spark, sf_dir):
         .otherwise("und")
         .alias("detected_lang"),
     )
+
+
+def _components_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """
+
+
+@query("dedup_components", _components_sql())
+def dedup_components(spark, sf_dir):
+    """Connected components of the near-dup graph: every doc in an LSH
+    candidate pair labeled with its component's minimum doc_id — the
+    step that turns pairwise candidates into dedup clusters (pick the
+    min-id doc as canonical, drop the rest).
+
+    Implementation is iterative min-label propagation — the canonical
+    large-scale CC algorithm on Spark: per round, each doc takes the min
+    of its own label and its neighbors' labels; converges in <= graph
+    diameter rounds (near-dup clusters are shallow). Two scale musts,
+    both here: ``localCheckpoint`` truncates the growing lineage every
+    round (else the plan doubles per iteration), and the convergence
+    probe is a LIMIT 1 existence check, not a full count. DuckDB twin:
+    recursive-CTE transitive closure.
+    """
+    pairs = dedup_lsh_pairs(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["component"],
+                    F.coalesce(F.col("neigh_min"), labels["component"]),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
