@@ -534,3 +534,102 @@ def dedup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             return labels
+
+
+@query(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def dedup_canonical_docs(spark, sf_dir):
+    """The dedup payoff query: materialize the corpus with every near-
+    dup cluster collapsed to its canonical (min-id) member — the step
+    that actually shrinks a training set. documents LEFT ANTI JOIN the
+    non-canonical ids; the drop set is tiny relative to the corpus, so
+    the anti-join broadcasts and the full table is scanned exactly
+    once."""
+    from .tables import load as _load
+
+    comp = dedup_components(spark, sf_dir)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        _load(spark, sf_dir, "documents")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "training_data_filter",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, n_chars, len(words) AS n_words,
+             len(list_filter(words,
+                 x -> x IN ('the','and','of','to','is','in','that','with',
+                            'for','on','der','die','und','das','ist')))
+               AS n_stop
+      FROM w
+    )
+    SELECT doc_id, lang, n_words
+    FROM feat
+    WHERE n_words >= 20
+      AND n_chars >= 100
+      AND (lang NOT IN ('en', 'de') OR 10 * n_stop >= n_words)
+    """,
+)
+def training_data_filter(spark, sf_dir):
+    """Composite quality gate — the shape of a real training-data
+    filter stage: length floors plus a stopword-density floor for
+    Latin-script docs (gibberish rejection). One scan, all predicates
+    fused by Catalyst into a single whole-stage-codegen filter; at
+    corpus scale this is a pushdown-friendly narrow map, no shuffle."""
+    from .tables import load as _load
+
+    d = _load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stops = (
+        "the and of to is in that with for on der die und das ist"
+    ).split()
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*stops)))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_words.alias("n_words"),
+            n_stop.alias("n_stop"),
+        )
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("n_chars") >= 100)
+            & (
+                ~F.col("lang").isin("en", "de")
+                | (F.lit(10) * F.col("n_stop") >= F.col("n_words"))
+            )
+        )
+        .select("doc_id", "lang", "n_words")
+    )
