@@ -70,3 +70,61 @@ def test_media_features_shape(spark):
     ok = feats.filter(F.col("status") == "ok")
     sizes = ok.select(F.size("feat").alias("d")).distinct().collect()
     assert [r["d"] for r in sizes] == [8]
+
+
+def test_media_resize_dims_and_determinism(spark):
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_resize,
+        synthetic_media_df,
+        sniff_container,
+        _parse_simg_header,
+    )
+
+    out = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()
+    ok = out[out["status"] == "ok"]
+    assert len(ok) > 0
+    for p in ok["payload"]:
+        assert sniff_container(bytes(p)) == "simg"
+        w, h, _c = _parse_simg_header(bytes(p))
+        assert (w, h) == (32, 24)
+    # audio + garbage rows -> error, never crash
+    assert set(out["status"]) <= {"ok", "error", "no_codec"}
+    again = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert list(a["payload"].map(lambda x: None if x is None else bytes(x))) \
+        == list(b["payload"].map(lambda x: None if x is None else bytes(x)))
+
+
+def test_media_frame_sample_udtf_shape(spark):
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        _parse_svid_header,
+        media_frame_sample,
+        sniff_container,
+        synthetic_video_df,
+    )
+
+    vids = synthetic_video_df(spark, 40)
+    frames = media_frame_sample(vids, every_k=2).toPandas()
+    ok = frames[frames["status"] == "ok"]
+    # every sampled frame is a standalone image payload
+    for p in ok["frame"]:
+        assert bytes(p)[:5] == b"%SIMG"
+    # frame count per video == ceil(n_frames / 2), checked via headers
+    pdf = vids.toPandas()
+    for _, r in pdf.iterrows():
+        payload = bytes(r["payload"])
+        got = len(ok[ok["media_id"] == r["media_id"]])
+        if sniff_container(payload) != "svid":
+            assert got == 0
+        else:
+            _w, _h, nf = _parse_svid_header(payload)
+            assert got == -(-nf // 2)
+    # frames chain into the image operators (resize of a sampled frame)
+    from win64_local_ocr_tool_spark.operators.multimodal import media_resize
+
+    frame_imgs = media_frame_sample(vids, every_k=4).filter(
+        "status = 'ok'"
+    ).selectExpr("media_id", "frame AS payload")
+    resized = media_resize(frame_imgs, 16, 12).toPandas()
+    assert (resized["status"] == "ok").all()

@@ -67,6 +67,8 @@ def test_every_query_has_oracle_or_is_documented():
         "extract_blocks_long",
         "media_metadata",
         "media_features",
+        "media_resize",
+        "media_frame_sample",
     }
     q = set(entry.queries())
     o = set(entry.oracle_sql())

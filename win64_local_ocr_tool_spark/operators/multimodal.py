@@ -40,6 +40,7 @@ _MAGICS = [
     (b"RIFF", "wav"),  # + b"WAVE" at offset 8
     (b"%SIMG", "simg"),  # synthetic fixture image (tests)
     (b"%SAUD", "saud"),  # synthetic fixture audio (tests)
+    (b"%SVID", "svid"),  # synthetic fixture video (tests)
 ]
 
 
@@ -68,6 +69,36 @@ def render_saud(sample_rate: int, n_samples: int, seed: int) -> bytes:
     head = b"%SAUD" + struct.pack("<II", sample_rate, n_samples)
     body = bytes((seed * 69069 + i * 12345) % 256 for i in range(min(n_samples, 4096)))
     return head + body
+
+
+_SVID_PLANE_CAP = 512  # stored bytes per frame (bounds fixture size)
+
+
+def render_svid(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Fake video: header + n_frames deterministic byte planes."""
+    head = b"%SVID" + struct.pack("<HHBI", width, height, n_frames, seed)
+    plane = min(width * height, _SVID_PLANE_CAP)
+    body = bytearray()
+    for f in range(n_frames):
+        body += bytes(
+            (seed * 2246822519 + f * 3266489917 + i * 668265263) % 256
+            for i in range(plane)
+        )
+    return head + bytes(body)
+
+
+def _parse_svid_header(payload: bytes):
+    w, h, nf, _seed = struct.unpack_from("<HHBI", payload, 5)
+    return w, h, nf
+
+
+def _svid_frame(payload: bytes, f: int) -> bytes:
+    """Extract frame f as a standalone %SIMG payload (1-channel)."""
+    w, h, nf, seed = struct.unpack_from("<HHBI", payload, 5)
+    plane = min(w * h, _SVID_PLANE_CAP)
+    off = 14 + f * plane
+    head = b"%SIMG" + struct.pack("<HHBI", w, h, 1, seed + f)
+    return head + payload[off : off + plane]
 
 
 def _parse_simg_header(payload: bytes):
@@ -203,6 +234,120 @@ def media_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
     )
 
 
+def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """(media_id, payload) -> nearest-neighbor resized image payload.
+
+    The resize kernel is a real numpy coordinate remap (stand-in for
+    PIL/opencv — swap `_decode_image`'s stub for real codecs and this
+    operator is production); PNG/JPEG without a codec yield
+    status='no_codec' rows, not failures. Narrow map, zero shuffle; the
+    Arrow batch bound keeps multi-MB payload batches inside worker
+    memory (SURVEY P8)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                container = sniff_container(payload)
+                row = {
+                    "media_id": int(mid), "width": target_w,
+                    "height": target_h, "payload": None, "status": "ok",
+                }
+                if container != "simg":
+                    row["status"] = (
+                        "no_codec" if container in ("png", "jpeg") else "error"
+                    )
+                    rows.append(row)
+                    continue
+                w, h, c = _parse_simg_header(payload)
+                seed = struct.unpack_from("<I", payload, 10)[0]
+                stored = np.frombuffer(payload[14:], dtype=np.uint8)
+                plane = np.zeros(w * h * c, dtype=np.uint8)
+                plane[: len(stored)] = stored
+                img = plane.reshape(h, w, c)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                out = img[ys][:, xs]  # nearest-neighbor remap
+                head = b"%SIMG" + struct.pack(
+                    "<HHBI", target_w, target_h, c, seed
+                )
+                row["payload"] = head + out.tobytes()[:4096]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "payload", "status"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize,
+        schema="media_id long, width int, height int, payload binary, "
+               "status string",
+    )
+
+
+def media_frame_sample(video: DataFrame, every_k: int = 2) -> DataFrame:
+    """(media_id, payload video) -> one row per sampled frame.
+
+    The UDTF shape (1 row in -> N frame rows out) is the same
+    ``mapInPandas`` pattern as payload->blocks tokenization (SURVEY
+    §2.10); each emitted frame is a standalone image payload ready for
+    the image operators downstream (resize/features). ffmpeg replaces
+    ``_svid_frame`` in a real deployment; everything else is unchanged."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if sniff_container(payload) != "svid":
+                    rows.append(
+                        {"media_id": int(mid), "frame_id": -1,
+                         "frame": None, "status": "error"}
+                    )
+                    continue
+                _w, _h, nf = _parse_svid_header(payload)
+                for f in range(0, nf, every_k):
+                    rows.append(
+                        {"media_id": int(mid), "frame_id": f,
+                         "frame": _svid_frame(payload, f), "status": "ok"}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_id", "frame", "status"]
+            )
+
+    return video.select("media_id", "payload").mapInPandas(
+        sample,
+        schema="media_id long, frame_id int, frame binary, status string",
+    )
+
+
+def synthetic_video_df(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic video fixture table (media_id, payload binary)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = (
+                    b"\x00notavideo"
+                    if i % 13 == 7
+                    else render_svid(
+                        32 + (i % 8) * 8, 24 + (i % 5) * 8,
+                        2 + i % 9, seed + i,
+                    )
+                )
+                rows.append({"media_id": i, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(0, n, 1, 8).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
 from .registry import query
 
 
@@ -217,6 +362,26 @@ def media_features_q(spark, sf_dir):
 
     return media_features(synthetic_media_df(spark, 200)).select(
         "media_id", "kind", "status", F.size("feat").alias("dim")
+    )
+
+
+@query("media_resize")  # rows-only
+def media_resize_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return media_resize(synthetic_media_df(spark, 200), 32, 24).select(
+        "media_id", "width", "height", "status",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@query("media_frame_sample")  # rows-only
+def media_frame_sample_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return media_frame_sample(synthetic_video_df(spark, 60), every_k=2).select(
+        "media_id", "frame_id", "status",
+        F.length("frame").alias("n_bytes"),
     )
 
 
