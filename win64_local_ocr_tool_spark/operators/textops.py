@@ -79,14 +79,25 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+SHINGLE_DF_CAP = 50  # drop shingles present in more docs than this
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -99,12 +110,30 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: shingle explode -> equi-join on shingle
-    (candidate generation) -> set-algebra jaccard. The join carries only
-    (doc_id, shingle), never documents; skew-safe because shingle
-    frequency is bounded by vocabulary."""
+    """N-gram Jaccard near-dup: shingle explode -> document-frequency
+    cap -> equi-join on shingle (candidate generation) -> set-algebra
+    jaccard over the capped feature space.
+
+    The df cap is the 100 TB survival clause: a boilerplate shingle
+    shared by k documents contributes k^2/2 join rows — one viral
+    phrase in a million docs is a half-trillion-row hotspot on ONE
+    shuffle key, which no AQE skew split saves. Capping df at
+    SHINGLE_DF_CAP bounds every key's fanout and drops only shingles with
+    no discriminative value (true near-dup pairs keep their rare
+    shingles; LSH banding remains the recall backstop). The join
+    carries only (doc_id, shingle), never document text."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d)
+    # df via groupBy (map-side partial agg shrinks the shuffle), then a
+    # broadcast anti-join on the tiny heavy-hitter list — cheaper than a
+    # per-shingle window, which has no partial aggregation
+    stop = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
