@@ -133,3 +133,61 @@ def test_skip_seen_urls_drops_recrawls(spark, dirs):
     got = read_stream_output(spark, dirs["out"]).toPandas()
     assert len(got) == 90
     assert got["url"].is_unique
+
+
+def test_stateful_running_totals_across_restarts(spark, dirs, tmp_path):
+    """applyInPandasWithState: per-user running totals survive a query
+    restart via the checkpointed state store, and the final totals
+    equal the batch groupBy twin exactly (scaled-integer state)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        drain_running_totals,
+        latest_totals,
+    )
+
+    def events(lo, hi):
+        return pd.DataFrame(
+            {
+                "event_id": range(lo, hi),
+                "ts": pd.to_datetime("2025-01-01")
+                + pd.to_timedelta(range(lo, hi), unit="m"),
+                "user_id": [i % 5 for i in range(lo, hi)],
+                "event_type": ["view"] * (hi - lo),
+                "value": [round((i % 37) * 0.25, 2) for i in range(lo, hi)],
+            }
+        )
+
+    _land(events(0, 200), dirs["in"], "e1.parquet")
+    drain_running_totals(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    # restart with more data: state must carry the first drain's counts
+    _land(events(200, 300), dirs["in"], "e2.parquet")
+    drain_running_totals(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    final = (
+        latest_totals(spark, dirs["out"])
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        .parquet(dirs["in"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        final.astype("int64"), want.astype("int64")
+    )
