@@ -31,6 +31,11 @@ SAMPLE = [
     "dedup_simhash",
     "text_quality_score",
     "sim_topk_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "f8_outlier_mask",
+    "training_data_filter",
+    "c7_math_functions",
 ]
 
 
