@@ -54,3 +54,27 @@ def test_read_raw_pages_folder_scan(spark, tmp_path):
         )
         want = golden_row(i)["extracted_text"]
         assert got[f"page{i:05d}.{ext}"] == want
+
+
+def test_corpus_datasource_v2(spark):
+    """The corpus as a registered Python DataSource: declared schema,
+    planned partitions, Arrow-batch rows, byte-identical to the
+    mapInPandas generator."""
+    from win64_local_ocr_tool_spark.corpus import corpus_df
+    from win64_local_ocr_tool_spark.sources import register_corpus_source
+
+    register_corpus_source(spark)
+    ds = (
+        spark.read.format("synthetic_corpus")
+        .option("n", 300)
+        .option("partitions", 7)
+        .load()
+    )
+    assert [f.name for f in ds.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    got = ds.toPandas().sort_values("url").reset_index(drop=True)
+    want = corpus_df(spark, 300).toPandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 300
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["html"].map(bytes)) == list(want["html"].map(bytes))

@@ -68,3 +68,76 @@ def documents_from_rows(spark: SparkSession, rows) -> DataFrame:
     """Small-corpus helper: python rows -> documents DataFrame with the
     pinned schema (tests, notebooks)."""
     return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Python DataSource V2: the synthetic corpus as a first-class source
+# --------------------------------------------------------------------------
+
+try:  # pyspark >= 4 only
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _CorpusPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class CorpusDataSource(DataSource):
+        """``spark.read.format("synthetic_corpus")`` — the deterministic
+        corpus exposed through the Python DataSource V2 API.
+
+        Demonstrates the engine's source contract end-to-end: schema is
+        declared (never inferred), the planner gets real input
+        partitions (id ranges — generation is a pure function of
+        (seed, i), so any executor can produce any range), and rows
+        reach the JVM as Arrow batches, not pickled tuples. Options:
+        ``n`` (row count), ``seed``, ``partitions``.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_corpus"
+
+        def schema(self) -> str:
+            return DOCUMENTS_SCHEMA
+
+        def reader(self, schema) -> "CorpusReader":
+            return CorpusReader(self.options)
+
+    class CorpusReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.seed = int(options.get("seed", 42))
+            self.n_parts = int(options.get("partitions", 32))
+
+        def partitions(self):
+            step = -(-self.n // self.n_parts) or 1
+            return [
+                _CorpusPartition(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            from .corpus import corpus_pandas
+
+            pdf = corpus_pandas(
+                range(partition.start, partition.end), self.seed
+            )
+            pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us, UTC]")
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+    def register_corpus_source(spark: SparkSession) -> None:
+        spark.dataSource.register(CorpusDataSource)
+
+except ImportError:  # pragma: no cover - older pyspark
+
+    def register_corpus_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "Python DataSource V2 requires pyspark >= 4"
+        )
