@@ -40,8 +40,10 @@ HEADLINE = [
     "dedup_minhash_sig",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_components",
     "sim_topk_cosine",
     "text_quality_score",
+    "training_data_filter",
 ]
 
 
