@@ -98,22 +98,52 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
+TRAIN_SAMPLE = 10_000  # centroid-training sample cap (faiss-style)
+KMEANS_ITERS = 8
+
+
+def _train_centroids(X: np.ndarray, k: int, iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on a training sample.
+
+    Init = first k sample vectors; every step is order-independent
+    numpy math, so the centroids are reproducible bit-for-bit for a
+    fixed sample. Empty cells re-seed from the worst-fit vector —
+    keeps all k cells populated (balanced inverted lists are what make
+    nprobe/K the true cost ratio)."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = Xn[sims.max(axis=1).argmin()]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _centroids(spark, sf_dir) -> np.ndarray:
+    """Train IVF centroids on a bounded, deterministic sample collected
+    to the driver — standard IVF practice (faiss trains on a sample);
+    at 10^12 vectors the sample is a `LIMIT TRAIN_SAMPLE` over a
+    hash-ordered scan, never the full corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    sample = (
+        e.orderBy("vec_id").limit(TRAIN_SAMPLE).select("vec_id", "embedding")
+    ).collect()
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    return _train_centroids(X, IVF_CELLS)
+
+
 def ivf_assign(spark, sf_dir) -> DataFrame:
-    """Cell assignment: nearest of IVF_CELLS centroids (centroids =
-    the first K vectors — deterministic, no iterative k-means here).
+    """Cell assignment: nearest of IVF_CELLS k-means centroids.
     Vectorized numpy matmul per Arrow batch; centroids broadcast once
     per executor (SURVEY P4: one-time model load analog)."""
     e = load(spark, sf_dir, "embeddings")
-    cents = np.array(
-        [
-            r["embedding"]
-            for r in e.filter(F.col("vec_id") < IVF_CELLS)
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cn = _centroids(spark, sf_dir)
     bc = e.sparkSession.sparkContext.broadcast(cn)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,17 +171,7 @@ def sim_ann_ivf(spark, sf_dir):
     The candidate join is an equi-join on cell id (bounded fan-out),
     not a cross join — the 100 TB shape."""
     assigned = ivf_assign(spark, sf_dir)
-    cents = np.array(
-        [
-            r["embedding"]
-            for r in load(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < IVF_CELLS)
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cn = _centroids(spark, sf_dir)
     bc = assigned.sparkSession.sparkContext.broadcast(cn)
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
