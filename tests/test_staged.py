@@ -62,3 +62,63 @@ def test_staged_matches_golden_and_resumes(spark, tmp_path):
         keys = lineage[lineage["stage"] == stage]["partition_key"]
         assert sorted(keys.tolist()) == list(range(8)), stage
         assert keys.is_unique, stage
+
+
+def test_overrides_replace_classifier_flags(spark):
+    """The human-correction artifact (SURVEY §3.2): per-(url, block_id)
+    keep/drop overrides win over the classifier; untouched documents
+    are byte-identical to the no-override run."""
+    from win64_local_ocr_tool_spark.corpus import corpus_df
+    from win64_local_ocr_tool_spark.staged import (
+        OVERRIDES_SCHEMA,
+        assemble_from_blocks,
+        tokenize_to_blocks,
+    )
+
+    docs = corpus_df(spark, 20)
+    blocks = tokenize_to_blocks(docs.select("url", "html"))
+    base = {
+        r["url"]: r
+        for r in assemble_from_blocks(blocks).collect()
+    }
+
+    # pick a url and force-drop its first kept block
+    target = sorted(base)[0]
+    b = blocks.filter(
+        (blocks["url"] == target) & (blocks["block_id"] >= 0)
+    ).orderBy("block_id").collect()
+    # find the block whose text starts the extracted output
+    kept_text = base[target]["extracted_text"].split("\n")[0]
+    drop_id = next(r["block_id"] for r in b if r["text"] == kept_text)
+
+    overrides = spark.createDataFrame(
+        [(target, int(drop_id), False)], schema=OVERRIDES_SCHEMA
+    )
+    out = {
+        r["url"]: r
+        for r in assemble_from_blocks(blocks, overrides).collect()
+    }
+    # target doc: the dropped block's text is gone from the output
+    assert kept_text not in out[target]["extracted_text"]
+    assert len(out[target]["spans"]) == len(base[target]["spans"]) - 1
+    # every other doc unchanged, byte for byte
+    for url, row in base.items():
+        if url != target:
+            assert out[url]["extracted_text"] == row["extracted_text"]
+
+    # force-keep a block the classifier dropped (first nav link block)
+    all_text = {r["block_id"]: r["text"] for r in b}
+    dropped_ids = [
+        i for i, t in all_text.items()
+        if t and t not in base[target]["extracted_text"]
+    ]
+    if dropped_ids:
+        keep_id = dropped_ids[0]
+        ov2 = spark.createDataFrame(
+            [(target, int(keep_id), True)], schema=OVERRIDES_SCHEMA
+        )
+        out2 = {
+            r["url"]: r
+            for r in assemble_from_blocks(blocks, ov2).collect()
+        }
+        assert all_text[keep_id] in out2[target]["extracted_text"]

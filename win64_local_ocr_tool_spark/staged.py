@@ -71,12 +71,34 @@ def tokenize_to_blocks(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(tok, schema=BLOCKS_SCHEMA)
 
 
-def assemble_from_blocks(blocks: DataFrame) -> DataFrame:
+OVERRIDES_SCHEMA = "url string, block_id int, keep boolean"
+
+
+def assemble_from_blocks(
+    blocks: DataFrame, overrides: DataFrame | None = None
+) -> DataFrame:
     """Stage 2: blocks grouped per url -> classify -> spans -> extracted.
 
     The one shuffle of the staged design (groupBy url); group sizes are
     bounded by document size, and the shuffled payload is the derived
-    block stream, not raw html."""
+    block stream, not raw html.
+
+    ``overrides`` (url, block_id, keep) is the survival of the
+    reference's human-in-the-loop correction artifact (the edited
+    layout graph, SURVEY §3.2): where present, the human's keep/drop
+    decision REPLACES the classifier's flag for that block. Overrides
+    are human-made and therefore tiny — broadcast-joined onto the
+    block stream, never a second shuffle."""
+    if overrides is not None:
+        blocks = blocks.join(
+            F.broadcast(
+                overrides.select(
+                    "url", "block_id", F.col("keep").alias("keep_override")
+                )
+            ),
+            ["url", "block_id"],
+            "left",
+        )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         url = pdf["url"].iloc[0]
@@ -100,6 +122,10 @@ def assemble_from_blocks(blocks: DataFrame) -> DataFrame:
             if kind == "pdf"
             else classify_blocks(blocks_list)
         )
+        if "keep_override" in core.columns:
+            for i, ov in enumerate(core["keep_override"]):
+                if ov is not None and not pd.isna(ov):
+                    flags[i] = bool(ov)
         text, spans = spans_from_flags(blocks_list, flags)
         return pd.DataFrame(
             [{
