@@ -99,3 +99,29 @@ def test_corpus_variant_rows_extract_ok():
     # cp1252 rows carry chars that prove the recovery ran
     res = extract_document(gen_row(379)["html"])
     assert "€" in res["extracted_text"]
+
+
+def test_decompression_bomb_is_contained():
+    """A payload inflating past the cap stays compressed -> error row,
+    not an executor OOM."""
+    import io
+
+    from win64_local_ocr_tool_spark.kernels import ingest
+
+    # build a small zlib stream that inflates to > cap (patched low)
+    orig = ingest.MAX_INFLATED_BYTES
+    ingest.MAX_INFLATED_BYTES = 1 << 20  # 1 MiB for the test
+    try:
+        bomb = zlib.compress(b"\x00" * (8 << 20))  # 8 MiB of zeros
+        out, codec = ingest.maybe_decompress(bomb)
+        assert (out, codec) == (bomb, "")
+        gz_bomb = gzip.compress(b"\x00" * (8 << 20), mtime=0)
+        out, codec = ingest.maybe_decompress(gz_bomb)
+        assert (out, codec) == (gz_bomb, "")
+        assert extract_document(gz_bomb)["status"] == "error"
+        # under the cap still inflates fine
+        small = gzip.compress(b"<html><body><p>x</p></body></html>", mtime=0)
+        out, codec = ingest.maybe_decompress(small)
+        assert codec == "gzip"
+    finally:
+        ingest.MAX_INFLATED_BYTES = orig

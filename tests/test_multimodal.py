@@ -128,3 +128,34 @@ def test_media_frame_sample_udtf_shape(spark):
     ).selectExpr("media_id", "frame AS payload")
     resized = media_resize(frame_imgs, 16, 12).toPandas()
     assert (resized["status"] == "ok").all()
+
+
+def test_malformed_magic_payloads_yield_error_rows(spark):
+    """Truncated/inconsistent payloads that PASS the magic sniff must
+    produce error rows, never task failures (failure isolation)."""
+    import pandas as pd
+    import struct as _struct
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_frame_sample,
+        media_metadata,
+        media_resize,
+    )
+
+    bad = [
+        b"%SIMG",                                         # truncated header
+        b"%SIMG" + _struct.pack("<HHBI", 1, 1, 1, 7) + b"0123456789",
+        b"%SVID",                                         # truncated header
+        b"%SVID" + b"\x01",
+        b"%SAUD",                                         # truncated header
+    ]
+    pdf = pd.DataFrame(
+        {"media_id": range(len(bad)), "payload": bad}
+    )
+    media = spark.createDataFrame(pdf, schema="media_id long, payload binary")
+    m = media_metadata(media).toPandas()
+    assert set(m["status"]) <= {"error", "ok"}
+    r = media_resize(media, 8, 8).toPandas()
+    assert len(r) == len(bad)
+    assert (r[r["media_id"].isin([0, 2, 3, 4])]["status"] == "error").all()
+    f = media_frame_sample(media).toPandas()
+    assert (f["status"] == "error").all()

@@ -27,11 +27,33 @@ the Spark pipeline and ``golden.py`` at any partitioning.
 from __future__ import annotations
 
 import codecs
-import gzip
 import re
 import zlib
 
 GZIP_MAGIC = b"\x1f\x8b"
+
+# Decompression-bomb ceiling: a payload may not inflate beyond this.
+# Anything larger is returned compressed, which then fails strict utf-8
+# and charset recovery -> error row (containment, not a crash). 256 MiB
+# is far above any real page yet well inside one Python worker's RAM.
+MAX_INFLATED_BYTES = 256 << 20
+
+
+def _bounded_inflate(payload: bytes, wbits: int) -> bytes | None:
+    """Inflate with a hard output cap; None = invalid, truncated, or
+    over cap (unlike gzip.decompress, decompressobj does not raise on a
+    truncated stream — d.eof distinguishes complete from cut-off)."""
+    d = zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(payload, MAX_INFLATED_BYTES)
+        if d.unconsumed_tail:  # would exceed the cap
+            return None
+        out += d.flush()
+        if not d.eof or len(out) > MAX_INFLATED_BYTES:
+            return None
+        return out
+    except zlib.error:
+        return None
 
 # declared charset in the head: <meta charset=X> or http-equiv content=
 _META_CHARSET_RE = re.compile(
@@ -48,23 +70,20 @@ def maybe_decompress(payload: bytes) -> tuple[bytes, str]:
 
     gzip by magic; raw zlib by the RFC1950 header checksum (first two
     bytes as big-endian int divisible by 31 with CM=8). A payload that
-    matches a magic but fails to inflate is returned unchanged — the
-    downstream parser decides whether it is extractable.
+    matches a magic but fails to inflate — or would inflate past
+    MAX_INFLATED_BYTES (decompression bomb) — is returned unchanged;
+    the downstream parser then lands it on the error-row path.
     """
     if payload[:2] == GZIP_MAGIC:
-        try:
-            return gzip.decompress(payload), "gzip"
-        except (OSError, EOFError, zlib.error):
-            return payload, ""
+        out = _bounded_inflate(payload, 16 + zlib.MAX_WBITS)
+        return (out, "gzip") if out is not None else (payload, "")
     if (
         len(payload) >= 2
         and (payload[0] & 0x0F) == 8
         and ((payload[0] << 8) | payload[1]) % 31 == 0
     ):
-        try:
-            return zlib.decompress(payload), "zlib"
-        except zlib.error:
-            return payload, ""
+        out = _bounded_inflate(payload, zlib.MAX_WBITS)
+        return (out, "zlib") if out is not None else (payload, "")
     return payload, ""
 
 

@@ -262,19 +262,26 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     )
                     rows.append(row)
                     continue
-                w, h, c = _parse_simg_header(payload)
-                seed = struct.unpack_from("<I", payload, 10)[0]
-                stored = np.frombuffer(payload[14:], dtype=np.uint8)
-                plane = np.zeros(w * h * c, dtype=np.uint8)
-                plane[: len(stored)] = stored
-                img = plane.reshape(h, w, c)
-                ys = (np.arange(target_h) * h) // target_h
-                xs = (np.arange(target_w) * w) // target_w
-                out = img[ys][:, xs]  # nearest-neighbor remap
-                head = b"%SIMG" + struct.pack(
-                    "<HHBI", target_w, target_h, c, seed
-                )
-                row["payload"] = head + out.tobytes()[:4096]
+                try:
+                    # malformed magic-bearing payloads (truncated header,
+                    # dims inconsistent with body) must yield error rows,
+                    # never task failures (row-level failure isolation)
+                    w, h, c = _parse_simg_header(payload)
+                    seed = struct.unpack_from("<I", payload, 10)[0]
+                    stored = np.frombuffer(payload[14:], dtype=np.uint8)
+                    plane = np.zeros(w * h * c, dtype=np.uint8)
+                    n = min(len(stored), len(plane))
+                    plane[:n] = stored[:n]
+                    img = plane.reshape(h, w, c)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    out = img[ys][:, xs]  # nearest-neighbor remap
+                    head = b"%SIMG" + struct.pack(
+                        "<HHBI", target_w, target_h, c, seed
+                    )
+                    row["payload"] = head + out.tobytes()[:4096]
+                except Exception:
+                    row["status"] = "error"
                 rows.append(row)
             yield pd.DataFrame(
                 rows,
@@ -302,17 +309,26 @@ def media_frame_sample(video: DataFrame, every_k: int = 2) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if sniff_container(payload) != "svid":
+                try:
+                    if sniff_container(payload) != "svid":
+                        raise ValueError("not a video container")
+                    _w, _h, nf = _parse_svid_header(payload)
+                    frames = [
+                        (f, _svid_frame(payload, f))
+                        for f in range(0, nf, every_k)
+                    ]
+                except Exception:
+                    # truncated/malformed magic-bearing payloads -> one
+                    # error row, never a task failure
                     rows.append(
                         {"media_id": int(mid), "frame_id": -1,
                          "frame": None, "status": "error"}
                     )
                     continue
-                _w, _h, nf = _parse_svid_header(payload)
-                for f in range(0, nf, every_k):
+                for f, frame in frames:
                     rows.append(
                         {"media_id": int(mid), "frame_id": f,
-                         "frame": _svid_frame(payload, f), "status": "ok"}
+                         "frame": frame, "status": "ok"}
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_id", "frame", "status"]

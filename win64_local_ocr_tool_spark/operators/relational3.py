@@ -185,8 +185,10 @@ def o3_sorted_array(spark, sf_dir):
     "c7_math_functions",
     """
     SELECT event_id,
-           round(atan2(CAST(value AS DOUBLE),
-                       CAST(user_id + 1 AS DOUBLE)), 6) AS angle,
+           round(CAST(value AS DOUBLE) /
+                 sqrt(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                      + CAST(user_id + 1 AS DOUBLE)
+                        * CAST(user_id + 1 AS DOUBLE)), 6) AS direction,
            round(sqrt(CAST(value AS DOUBLE)), 6) AS magnitude,
            to_base64(CAST(event_type AS BLOB)) AS b64
     FROM events
@@ -195,15 +197,22 @@ def o3_sorted_array(spark, sf_dir):
 def c7_math_functions(spark, sf_dir):
     """Math + encoding scalar kernels (reference: atan2/cos-sim/norms in
     edge-feature construction, LayoutGraphGenerator.js:224-261, SURVEY
-    C7; base64 page serving, routes.py:116-119, SURVEY C10). Rounded at
-    6 decimals after identical double math on both engines."""
+    C7; base64 page serving, routes.py:116-119, SURVEY C10).
+
+    Float discipline (CLAUDE.md): every compared double column is
+    composed ONLY of IEEE correctly-rounded ops (*, +, /, sqrt), which
+    are bit-identical across engines, so the 6-decimal round is safe.
+    atan2 is deliberately NOT in the compared output — libm
+    implementations differ by ulps (it lives in the in-UDF kernels
+    where only one implementation runs, e.g. the MST/DBSCAN numpy
+    paths). ``direction`` is the cosine of the same angle: the actual
+    edge-feature math of the reference, correctly-rounded throughout."""
     ev = load(spark, sf_dir, "events")
     v = F.col("value").cast("double")
+    u = (F.col("user_id") + 1).cast("double")
     return ev.select(
         "event_id",
-        F.round(F.atan2(v, (F.col("user_id") + 1).cast("double")), 6).alias(
-            "angle"
-        ),
+        F.round(v / F.sqrt(v * v + u * u), 6).alias("direction"),
         F.round(F.sqrt(v), 6).alias("magnitude"),
         F.base64(F.col("event_type").cast("binary")).alias("b64"),
     )

@@ -138,12 +138,14 @@ def _centroids(spark, sf_dir) -> np.ndarray:
     return _train_centroids(X, IVF_CELLS)
 
 
-def ivf_assign(spark, sf_dir) -> DataFrame:
+def ivf_assign(spark, sf_dir, cents: np.ndarray | None = None) -> DataFrame:
     """Cell assignment: nearest of IVF_CELLS k-means centroids.
     Vectorized numpy matmul per Arrow batch; centroids broadcast once
-    per executor (SURVEY P4: one-time model load analog)."""
+    per executor (SURVEY P4: one-time model load analog). Pass
+    ``cents`` to reuse already-trained centroids (sim_ann_ivf trains
+    once and shares them)."""
     e = load(spark, sf_dir, "embeddings")
-    cn = _centroids(spark, sf_dir)
+    cn = _centroids(spark, sf_dir) if cents is None else cents
     bc = e.sparkSession.sparkContext.broadcast(cn)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,8 +172,8 @@ def sim_ann_ivf(spark, sf_dir):
     """IVF ANN: search only the query's IVF_NPROBE nearest cells.
     The candidate join is an equi-join on cell id (bounded fan-out),
     not a cross join — the 100 TB shape."""
-    assigned = ivf_assign(spark, sf_dir)
     cn = _centroids(spark, sf_dir)
+    assigned = ivf_assign(spark, sf_dir, cents=cn)
     bc = assigned.sparkSession.sparkContext.broadcast(cn)
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(

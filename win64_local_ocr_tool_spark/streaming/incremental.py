@@ -95,7 +95,18 @@ def incremental_extraction(
         # overwrite-by-epoch = idempotent replay (see module docstring)
         ext.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         if lineage_dir:
+            from ..lineage import done_keys
+
             bspark = batch.sparkSession
+            # crash-replay guard: foreachBatch is at-least-once, and the
+            # data write is idempotent (overwrite-by-epoch) but a lineage
+            # APPEND is not — skip epochs already logged, mirroring the
+            # batch path's done_keys anti-join
+            done = done_keys(bspark, lineage_dir, STAGE_STREAM)
+            if done is not None and any(
+                r["partition_key"] == int(epoch_id) for r in done.collect()
+            ):
+                return
             written = bspark.read.parquet(f"{out_dir}/epoch={epoch_id}")
             counts = written.agg(
                 F.count("*").alias("n_rows"),
@@ -119,12 +130,21 @@ def incremental_extraction(
 
 
 def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The union of all epoch directories as one extracted table."""
+    """The union of all epoch directories as one extracted table.
+
+    An output directory that does not exist yet (no epoch has run) is
+    an empty table, not an error — a monitoring query must work before
+    the first file lands."""
+    from pyspark.errors import AnalysisException
+
     from ..operators.extract import EXTRACTED_SCHEMA
 
-    return spark.read.schema(EXTRACTED_SCHEMA).option(
-        "recursiveFileLookup", "true"
-    ).parquet(out_dir)
+    try:
+        return spark.read.schema(EXTRACTED_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(out_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], schema=EXTRACTED_SCHEMA)
 
 
 def windowed_ingest_counts(

@@ -44,11 +44,17 @@ def _update_totals(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     n, total = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # scaled-integer arithmetic: order-independent, restart-stable
-        total += int((pdf["value"] * 100).round().astype("int64").sum())
+        # scaled-integer arithmetic: order-independent, restart-stable.
+        # HALF_UP rounding to match the batch twin (Spark F.round) —
+        # pandas .round() is half-to-even and diverges on exact halves.
+        v = pdf["value"].to_numpy() * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        total += int(cents.astype("int64").sum())
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
