@@ -20,16 +20,28 @@ def test_resume_completes_without_recompute(spark, tmp_path):
     lin = str(tmp_path / "lineage")
     docs = corpus_df(spark, N)
 
-    # --- simulated partial run: only half the partition keyspace ---
+    # --- simulated interrupted run: process only half the keyspace by
+    # feeding half the input, then truncate the lineage to those keys
+    # (an interrupted job has no lineage for unprocessed partitions;
+    # empty-but-seen partitions legitimately log done rows, so input
+    # filtering alone no longer models interruption) ---
     partial = with_partition_key(docs, N_BUCKETS).filter(
         F.col("partition_key") < 8
     ).drop("partition_key")
     s1 = run_extraction(
         spark, partial, out_dir=out, lineage_dir=lin, n_buckets=N_BUCKETS
     )
-    assert s1["n_partitions"] == 8
+    # every bucket of the partial run's input space is logged — the
+    # 8 fed buckets with rows, the 8 empty ones with n_rows=0
+    assert s1["n_partitions"] == N_BUCKETS
     n_first = s1["n_docs"]
     assert 0 < n_first < N
+    trunc = spark.read.parquet(lin).filter(F.col("partition_key") < 8)
+    trunc_pdf = trunc.toPandas()
+    import shutil
+
+    shutil.rmtree(lin)
+    spark.createDataFrame(trunc_pdf, schema=trunc.schema).write.parquet(lin)
 
     # --- resumed full run ---
     s2 = run_extraction(

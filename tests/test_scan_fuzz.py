@@ -74,6 +74,19 @@ ADVERSARIAL = [
     b"<html><body><a href='/x'><a href='/y'>nested</a></a><p>t</p></body></html>",
     b"<!DOCTYPE html><html><body><p>doc</p></body></html>",
     b"<html><body><ul><li>one<li>two<li>three</ul></body></html>",
+    # CDATA semantics (must mirror HTMLParser exactly)
+    b"<body><SCRIPT>x</SCRIPT><p>ok</p></body>",
+    b"<body><script>if(a</scriptfoo>)x;</script><p>after</p></body>",
+    b'<body><script>a</script\tfoo="1">b</script><p>c</p></body>',
+    b"<body><script>x</script ><p>w</p></body>",
+    b"<body><STYLE>a{}</STYLE><p>s</p></body>",
+    b"<body><script>no close",
+    # noscript/template: text suppressed but tags still parsed
+    b"<body><noscript><div></noscript><p>real text</p></body>",
+    b"<body><noscript><nav></noscript><p>t1</p><p>t2</p></body>",
+    b'<body><noscript><a href="/x">link</a></noscript><p>v</p></body>',
+    b"<body><NOSCRIPT>hide</NOSCRIPT><p>v</p></body>",
+    b"<body><noscript><script>x</script>hide</noscript><p>v</p></body>",
 ]
 
 

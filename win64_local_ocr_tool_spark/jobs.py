@@ -34,8 +34,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--lineage", default=None)
     ex.add_argument("--resume", action="store_true")
     ex.add_argument("--n-buckets", type=int, default=64)
-    ex.add_argument("--mega-bytes", type=int, default=None,
-                    help="enable distributed skew path above this size")
+    ex.add_argument("--mega-bytes", type=int, default=8 << 20,
+                    help="route documents above this size to the "
+                         "distributed chunk path (default 8 MiB, "
+                         "matching run_extraction; 0 disables)")
     ex.add_argument("--chunk-blocks", type=int, default=200)
     ex.add_argument("--commit-batches", type=int, default=None,
                     help="write+log the bucket keyspace in K groups so a "
@@ -102,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             lineage_dir=args.lineage,
             resume=args.resume,
             n_buckets=args.n_buckets,
-            mega_bytes=args.mega_bytes,
+            mega_bytes=args.mega_bytes or None,
             chunk_blocks=args.chunk_blocks,
             commit_batches=args.commit_batches,
         )

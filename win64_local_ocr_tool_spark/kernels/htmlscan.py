@@ -26,6 +26,20 @@ _TAG_RE = re.compile(
     re.DOTALL,
 )
 
+# CDATA-content elements (the ONLY raw-text bodies, mirroring
+# html.parser.HTMLParser.CDATA_CONTENT_ELEMENTS): their body ends only
+# at a well-formed close tag — case-insensitive, optional whitespace,
+# NO attributes and no name continuation (`</scriptfoo>` and
+# `</script x=1>` stay inside CDATA, exactly like HTMLParser).
+_CDATA_TAGS = frozenset({"script", "style"})
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_TAGS
+}
+# Remaining skip tags (noscript/template): NOT raw text — tags inside
+# them still mutate the tag/link stacks (HTMLParser parses them); only
+# their character data is suppressed.
+_FLAG_SKIP_TAGS = SKIP_TAGS - _CDATA_TAGS
+
 def _norm(raw: str) -> str:
     if "&" in raw:
         raw = _html.unescape(raw)
@@ -47,6 +61,7 @@ def scan_html(payload: bytes) -> list[Block]:
     link_buf: list[str] = []
     tag_stack: list[str] = []
     link_depth = 0
+    skip_depth = 0  # inside noscript/template: suppress text, keep tags
     pos = 0
 
     def flush() -> None:
@@ -79,12 +94,12 @@ def scan_html(payload: bytes) -> list[Block]:
         m = _TAG_RE.search(text, i)
         if m is None:
             data = text[i:]
-            if data:
+            if data and not skip_depth:
                 buf.append(data)
                 if link_depth:
                     link_buf.append(data)
             break
-        if m.start() > i:
+        if m.start() > i and not skip_depth:
             data = text[i : m.start()]
             buf.append(data)
             if link_depth:
@@ -95,12 +110,14 @@ def scan_html(payload: bytes) -> list[Block]:
             continue
         tag = tag.lower()
         closing = m.group(1) == "/"
-        if tag in SKIP_TAGS:
+        if tag in _CDATA_TAGS:
             if not closing:
-                # raw-skip to the matching close tag (script/style bodies
-                # are not HTML; HTMLParser does the same via CDATA mode)
-                end = text.find(f"</{tag}", i)
-                i = n if end < 0 else text.find(">", end) + 1 or n
+                # raw-skip to the well-formed close tag (CDATA mode)
+                mc = _CDATA_CLOSE[tag].search(text, i)
+                i = mc.end() if mc else n
+            continue
+        if tag in _FLAG_SKIP_TAGS:
+            skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
             continue
         if tag == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1

@@ -306,7 +306,9 @@ def o2_numeric_key_sort(spark, sf_dir):
     annotationStore.js:22-34; SURVEY O2 + O7 — the design lesson is to
     sort on the parsed integer, never the string)."""
     d = load(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # substring to end-of-string (2-arg form), matching the oracle's
+    # substr(source, 4) — a fixed length would truncate long suffixes
+    src_num = F.expr("substring(source, 4)").cast("int")
     return (
         d.select("doc_id", "source", src_num.alias("src_num"))
         .orderBy("src_num", "doc_id")

@@ -25,11 +25,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
     The words array is PROJECTED FIRST: referencing ``split(text)``
     inside the transform lambda makes Catalyst re-evaluate the split per
     element (3 splits x n shingles = O(n^2) per row — measured 27s vs
-    2s on 5k docs)."""
+    2s on 5k docs). Documents with fewer than SHINGLE_W words are
+    filtered BEFORE the sequence: Spark's sequence(0, -1) is the
+    descending list [0, -1] (not empty like generate_series), and the
+    resulting element_at(w, -1+2) crashes under ANSI mode."""
     w = F.col("w")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - SHINGLE_W, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(w) - SHINGLE_W)
     return (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size(w) >= SHINGLE_W)
         .select(
             "doc_id",
             F.explode(
@@ -335,10 +339,15 @@ def doc_fingerprint_winnow(spark, sf_dir):
     (engine-portable ordering)."""
     from pyspark.sql.window import Window as W
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.length("text") - WINNOW_K, F.lit(-1))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # texts shorter than one k-gram have no fingerprints; also keeps
+        # the sequence endpoint >= 0 (sequence(0,-1) is [0,-1] in Spark,
+        # which would fabricate a prefix fingerprint the oracle lacks)
+        .filter(F.length("text") >= WINNOW_K)
     )
+    idx = F.sequence(F.lit(0), F.length("text") - WINNOW_K)
     grams = d.select(
         "doc_id",
         F.posexplode(

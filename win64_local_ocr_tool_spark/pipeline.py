@@ -124,11 +124,22 @@ def run_extraction(
             F.count("*").alias("n_rows"),
             F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
         )
-        rows = per_key.collect()
-        for r in rows:
+        got = {r["partition_key"]: r for r in per_key.collect()}
+        # keys with zero input rows still get a lineage row (n_rows=0):
+        # without one they stay in todo forever and every resume re-runs
+        # an empty extract job for them
+        rows = [
+            (
+                k,
+                got[k]["n_rows"] if k in got else 0,
+                got[k]["n_errors"] if k in got else 0,
+            )
+            for k in keys
+        ]
+        for _, n_r, n_e in rows:
             n_parts += 1
-            n_docs += r["n_rows"]
-            n_errors += r["n_errors"]
+            n_docs += n_r
+            n_errors += n_e
         if lineage_dir and rows:
             per_key_df = spark.createDataFrame(
                 rows, schema="partition_key int, n_rows long, n_errors long"

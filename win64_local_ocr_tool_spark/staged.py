@@ -28,7 +28,11 @@ from .kernels.classify import classify_blocks
 from .kernels.htmlblocks import Block
 from .kernels.langid import detect_lang
 from .lineage import append_lineage, prune_done, with_partition_key
-from .operators.extract import EXTRACTED_SCHEMA, tokenize_payload
+from .operators.extract import (
+    EXTRACTED_SCHEMA,
+    _spans_records,
+    tokenize_payload,
+)
 
 STAGE_TOKENIZE = "tokenize"
 STAGE_ASSEMBLE = "assemble"
@@ -132,10 +136,7 @@ def assemble_from_blocks(
                 "url": url,
                 "status": "ok",
                 "extracted_text": text,
-                "spans": [
-                    {"span_id": s, "char_start": a, "char_end": b}
-                    for (s, a, b) in spans
-                ],
+                "spans": _spans_records(spans),
                 "lang": detect_lang(text),
             }]
         )
