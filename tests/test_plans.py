@@ -84,3 +84,23 @@ def test_graph_kernels_single_shuffle(spark, sf_dir):
         plan = _plan(entry.queries()[name](spark, sf_dir))
         assert plan.count("Exchange") == 1, name
         assert "FlatMapGroupsInPandas" in plan, name
+
+
+def test_dedup_banding_is_single_pass_over_materialized_table(spark, sf_dir):
+    """LSH banding must be ONE pass over the signature table (explode of
+    an inline band array + localCheckpoint), never a union of per-band
+    selects: a union recomputes the minhash aggregation once per band
+    per join side (8x at 4 bands — no ReusedExchange across branches).
+    Gate: the pair join's executed plan reads the materialized RDD, not
+    the source parquet, and carries only the band-join exchange(s)."""
+    plan = _plan(entry.queries()["dedup_lsh_pairs"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_dedup_jaccard_materializes_shingles_once(spark, sf_dir):
+    """The shingle set feeds four consumers (df-cap, sizes, both
+    self-join sides); it must be computed once (localCheckpoint), so the
+    executed plan never re-reads the documents parquet."""
+    plan = _plan(entry.queries()["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "Scan parquet" not in plan

@@ -125,9 +125,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     SHINGLE_DF_CAP bounds every key's fanout and drops only shingles with
     no discriminative value (true near-dup pairs keep their rare
     shingles; LSH banding remains the recall backstop). The join
-    carries only (doc_id, shingle), never document text."""
+    carries only (doc_id, shingle), never document text.
+
+    The shingle set feeds four consumers (df-cap, sizes, both self-join
+    sides); without an explicit materialization Catalyst recomputes the
+    explode+distinct per consumer (no ReusedExchange across these
+    subtrees — measured 2x end-to-end). ``localCheckpoint`` computes it
+    once; at corpus scale this is the deliberate "materialize the
+    feature table before the pairwise stage" decision, the same call a
+    100 TB pipeline makes by writing shingles to a stage table."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    sh = _shingles(d).localCheckpoint()
     # df via groupBy (map-side partial agg shrinks the shuffle), then a
     # broadcast anti-join on the tiny heavy-hitter list — cheaper than a
     # per-shingle window, which has no partial aggregation
@@ -211,22 +219,31 @@ def _lsh_pairs_sql() -> str:
 def dedup_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: band the signature, hash each band,
     equi-join on (band, band-hash). The banding join is the scale path —
-    candidates are generated without comparing all pairs."""
+    candidates are generated without comparing all pairs.
+
+    Plan shape matters here: banding is ONE pass over the signature
+    table (explode of an inline band array), not a UNION of per-band
+    selects — a union would re-aggregate the minhash signature once per
+    band per join side (8x at 4 bands; no ReusedExchange across the
+    branches). The exploded band table is then ``localCheckpoint``-ed so
+    the self-join's two sides share one materialization — the same
+    "write the band table, then join it to itself" staging a 100 TB
+    dedup run does."""
     sig = dedup_minhash_sig(spark, sf_dir)
     rows_per_band = N_MINHASH // LSH_BANDS
-    band_dfs = []
+    band_structs = []
     for b in range(LSH_BANDS):
         parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_dfs.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*parts)).alias("bkey"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bkey")
             )
         )
-    bands = band_dfs[0]
-    for bd in band_dfs[1:]:
-        bands = bands.unionByName(bd)
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .localCheckpoint()
+    )
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -527,11 +544,13 @@ def dedup_components(spark, sf_dir):
     Implementation is iterative min-label propagation — the canonical
     large-scale CC algorithm on Spark: per round, each doc takes the min
     of its own label and its neighbors' labels; converges in <= graph
-    diameter rounds (near-dup clusters are shallow). Two scale musts,
-    both here: ``localCheckpoint`` truncates the growing lineage every
-    round (else the plan doubles per iteration), and the convergence
-    probe is a LIMIT 1 existence check, not a full count. DuckDB twin:
-    recursive-CTE transitive closure.
+    diameter rounds (near-dup clusters are shallow). Three scale musts,
+    all here: ``localCheckpoint`` truncates the growing lineage every
+    round (else the plan doubles per iteration); the convergence probe
+    is a LIMIT 1 existence check, not a full count; and the probe reads
+    a ``chg`` flag computed inside the label-update select itself —
+    fusing it saves a labels-vs-labels join (one shuffle) per round.
+    DuckDB twin: recursive-CTE transitive closure.
     """
     pairs = dedup_lsh_pairs(spark, sf_dir)
     edges = pairs.union(
@@ -551,25 +570,18 @@ def dedup_components(spark, sf_dir):
             .groupBy("doc_a")
             .agg(F.min("component").alias("neigh_min"))
         )
+        neigh_min = F.coalesce(F.col("neigh_min"), labels["component"])
         new_labels = (
             labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
             .select(
                 labels["doc_id"],
-                F.least(
-                    labels["component"],
-                    F.coalesce(F.col("neigh_min"), labels["component"]),
-                ).alias("component"),
+                F.least(labels["component"], neigh_min).alias("component"),
+                (neigh_min < labels["component"]).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
 
