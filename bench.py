@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_components",
+    "decontaminate_ngram",
     "sim_topk_cosine",
     "text_quality_score",
     "training_data_filter",

@@ -33,6 +33,8 @@ SAMPLE = [
     "sim_topk_cosine",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "decontaminate_ngram",
+    "boilerplate_ngrams",
     "f8_outlier_mask",
     "training_data_filter",
     "c7_math_functions",

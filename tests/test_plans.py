@@ -104,3 +104,12 @@ def test_dedup_jaccard_materializes_shingles_once(spark, sf_dir):
     executed plan never re-reads the documents parquet."""
     plan = _plan(entry.queries()["dedup_ngram_jaccard"](spark, sf_dir))
     assert "Scan parquet" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """Eval suites are tiny next to a training corpus: the benchmark
+    gram set must broadcast so the corpus side streams through without
+    a corpus-wide shuffle on the gram key."""
+    plan = _plan(entry.queries()["decontaminate_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

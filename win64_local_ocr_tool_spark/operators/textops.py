@@ -19,48 +19,50 @@ LSH_BANDS = 4  # bands of rows=2 over the signature
 SHINGLE_W = 3  # words per shingle
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document.
+def _word_ngrams(docs: DataFrame, width: int, out: str) -> DataFrame:
+    """(doc_id, <out>) — distinct word n-grams of ``width`` per document.
 
     The words array is PROJECTED FIRST: referencing ``split(text)``
     inside the transform lambda makes Catalyst re-evaluate the split per
-    element (3 splits x n shingles = O(n^2) per row — measured 27s vs
-    2s on 5k docs). Documents with fewer than SHINGLE_W words are
+    element (width splits x n grams = O(n^2) per row — measured 27s vs
+    2s on 5k docs). Documents with fewer than ``width`` words are
     filtered BEFORE the sequence: Spark's sequence(0, -1) is the
-    descending list [0, -1] (not empty like generate_series), and the
-    resulting element_at(w, -1+2) crashes under ANSI mode."""
+    descending list [0, -1] (not empty like generate_series), and a
+    negative-index element access crashes under ANSI mode."""
     w = F.col("w")
-    idx = F.sequence(F.lit(0), F.size(w) - SHINGLE_W)
+    idx = F.sequence(F.lit(0), F.size(w) - width)
     return (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-        .filter(F.size(w) >= SHINGLE_W)
+        .filter(F.size(w) >= width)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
                     idx,
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                        F.element_at(w, i + 3),
-                    ),
+                    lambda i: F.array_join(F.slice(w, i + 1, width), " "),
                 )
-            ).alias("shingle"),
+            ).alias(out),
         )
         .distinct()
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document."""
+    return _word_ngrams(docs, SHINGLE_W, "shingle")
+
+
+def _ngrams_sql(width: int, out: str) -> str:
+    return f"""
   SELECT DISTINCT doc_id,
          unnest(list_transform(
-           generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_W - 1}, 0)),
-           i -> concat_ws(' ', string_split(text, ' ')[i],
-                               string_split(text, ' ')[i+1],
-                               string_split(text, ' ')[i+2]))) AS shingle
+           generate_series(1, greatest(len(string_split(text, ' ')) - {width - 1}, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+{width - 1}], ' '))) AS {out}
   FROM documents
 """
+
+
+_SHINGLES_SQL = _ngrams_sql(SHINGLE_W, "shingle")
 
 
 @query(
@@ -682,4 +684,82 @@ def training_data_filter(spark, sf_dir):
             )
         )
         .select("doc_id", "lang", "n_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + cross-document boilerplate
+# ---------------------------------------------------------------------------
+
+DECON_W = 13  # n-gram width for contamination (the GPT-3/Pile convention)
+BENCH_MOD = 29  # deterministic synthetic "benchmark" subset: doc_id % 29 == 0
+BOILER_W = 5  # n-gram width for cross-document boilerplate
+BOILER_MIN_DF = 2  # a gram in >= this many docs counts as boilerplate
+
+
+@query(
+    "decontaminate_ngram",
+    f"""
+    WITH grams AS ({_ngrams_sql(DECON_W, "g")}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM grams
+    WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    13-gram with the evaluation set (the GPT-3 §C / Pile protocol —
+    overlap at 13 words is effectively never coincidence). Here the
+    "benchmark" is a deterministic synthetic subset (doc_id % 29 == 0);
+    in production it is the eval-suite table.
+
+    Scale shape: eval suites are tiny next to a training corpus, so the
+    benchmark gram set is BROADCAST and the corpus side streams through
+    a broadcast hash join — no corpus-side shuffle until the final
+    per-doc count, which AQE coalesces. Emits (doc_id, n_hits) for
+    contaminated docs only; the drop step is a broadcast anti-join of
+    this result, same as dedup_canonical_docs."""
+    d = load(spark, sf_dir, "documents")
+    grams = _word_ngrams(d, DECON_W, "g")
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    f"""
+    WITH grams AS ({_ngrams_sql(BOILER_W, "g")})
+    SELECT g AS gram, count(*) AS df
+    FROM grams GROUP BY g HAVING count(*) >= {BOILER_MIN_DF}
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Cross-document repeated n-grams — the CCNet-style boilerplate
+    census (nav bars, cookie banners, licence footers repeat verbatim
+    across sites). Emits (gram, df) for every 5-gram appearing in >=
+    BOILER_MIN_DF distinct documents; downstream filters strip these
+    from training text.
+
+    Scale shape: distinct-per-doc explode, then ONE shuffle on the gram
+    with map-side partial aggregation; the df >= k predicate prunes the
+    output to the heavy tail. Same skew logic as SHINGLE_DF_CAP: the
+    census itself never joins back doc-to-doc, so no key fans out
+    quadratically."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _word_ngrams(d, BOILER_W, "g")
+        .groupBy(F.col("g").alias("gram"))
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
     )
