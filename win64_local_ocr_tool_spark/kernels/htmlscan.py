@@ -18,9 +18,12 @@ import unicodedata
 from .htmlblocks import BLOCK_TAGS, SKIP_TAGS, Block
 
 # One pass: tags, comments, declarations. Attribute bodies are skipped,
-# never parsed (the classifier uses only tag names + text).
+# never parsed (the classifier uses only tag names + text). The first
+# attribute-skipping alternative consumes RUNS of plain chars ([^>"']+,
+# not [^>"']) — same language, but char-at-a-time alternation is ~2x
+# slower on attribute-heavy tags.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']+|\"[^\"]*\"|'[^']*')*>"
     r"|<!--.*?-->"
     r"|<![^>]*>",
     re.DOTALL,
@@ -90,8 +93,9 @@ def scan_html(payload: bytes) -> list[Block]:
 
     i = 0
     n = len(text)
+    tag_search = _TAG_RE.search  # bind once: the loop runs per tag
     while i < n:
-        m = _TAG_RE.search(text, i)
+        m = tag_search(text, i)
         if m is None:
             data = text[i:]
             if data and not skip_depth:
@@ -99,17 +103,18 @@ def scan_html(payload: bytes) -> list[Block]:
                 if link_depth:
                     link_buf.append(data)
             break
-        if m.start() > i and not skip_depth:
-            data = text[i : m.start()]
+        start, end = m.span()
+        if start > i and not skip_depth:
+            data = text[i:start]
             buf.append(data)
             if link_depth:
                 link_buf.append(data)
-        i = m.end()
-        tag = m.group(2)
+        i = end
+        tag = m[2]
         if not tag:  # comment / declaration
             continue
         tag = tag.lower()
-        closing = m.group(1) == "/"
+        closing = m[1] == "/"
         if tag in _CDATA_TAGS:
             if not closing:
                 # raw-skip to the well-formed close tag (CDATA mode)

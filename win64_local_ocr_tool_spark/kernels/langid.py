@@ -24,8 +24,10 @@ SA_MARKERS = frozenset("à¤…à¤¸à¥à¤¤à¤¿ à¤‡à¤¤à¤¿ à¤š à¤à¤µ à¤¤à¥ à¤…à¤ªà¤¿ à¤
 _DEVA = re.compile(r"[à¤€-à¥¿]")
 # Tokens = runs of letters OR Devanagari code points (incl. combining
 # marks, which Python's \w excludes â€” they must stay inside the token
-# for marker matching: 'à¤¹à¥ˆ' is HA + vowel sign E).
-_TOKEN = re.compile(r"(?:[^\W\d_]|[à¤€-à¥¿])+", re.UNICODE)
+# for marker matching: 'à¤¹à¥ˆ' is HA + vowel sign E). Each alternative
+# consumes a RUN (+ inside the group): the maximal matches are
+# identical, but char-at-a-time alternation is measurably slower.
+_TOKEN = re.compile(r"(?:[^\W\d_]+|[à¤€-à¥¿]+)+", re.UNICODE)
 
 COUNT_FIELDS = ("n_en", "n_de", "n_hi", "n_sa", "n_deva", "n_tokens")
 
@@ -36,9 +38,26 @@ def lang_counts(text: str) -> tuple[int, int, int, int, int, int]:
     # one whole-text precheck spares the per-token Devanagari scan on
     # pure-Latin documents (half the corpus)
     has_deva = _DEVA.search(text) is not None
+    if not has_deva and text.isascii():
+        # ASCII fast path: no per-token Python loop. For ASCII input,
+        # str.lower() is a 1:1 letter-preserving map, so tokenizing the
+        # pre-lowercased text yields exactly the token multiset of
+        # lowercasing each token (NOT true in general: 'Ä°'.lower()
+        # inserts a combining mark and splits a token â€” hence the
+        # isascii() gate). Counter counts in C; EN/DE marker sets are
+        # disjoint, so summing lookups equals the if/elif walk.
+        from collections import Counter
+
+        toks = _TOKEN.findall(text.lower())
+        c = Counter(toks)
+        n_tok = len(toks)
+        n_en = sum(c[m] for m in EN_MARKERS)
+        n_de = sum(c[m] for m in DE_MARKERS)
+        return (n_en, n_de, 0, 0, 0, n_tok)
+    deva_search = _DEVA.search
     for tok in _TOKEN.findall(text):
         n_tok += 1
-        if has_deva and _DEVA.search(tok):
+        if deva_search(tok):
             n_deva += 1
             if tok in HI_MARKERS:
                 n_hi += 1
