@@ -223,8 +223,17 @@ busy-loop hardware calibration alongside.
 Generated by `scripts/scaling_evidence.py` (calibration + protocol
 details in its docstring).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve hand-maintained sections (anything from the first "## "
+    # heading onward) across regeneration
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    with open(bench_path, "w") as f:
+        f.write(md + tail)
     print("wrote BENCH.md")
 
 
