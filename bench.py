@@ -83,7 +83,28 @@ def ensure_corpus(spark, n: int) -> str:
     return path
 
 
+def _pin_to_cores() -> None:
+    """Re-exec under ``taskset -c 0..CPUS+1`` (N executor cores + 2
+    driver allowance — the BENCH.md scaling protocol). ``local[N]``
+    bounds JVM task threads but NOT Python UDF worker processes; without
+    pinning they oversubscribe the host and the measurement reflects
+    scheduler contention, not engine throughput."""
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_PINNED") or not shutil.which("taskset"):
+        return
+    n_host = os.cpu_count() or CPUS
+    hi = min(CPUS + 1, n_host - 1)
+    os.environ["SPARK_GRAFT_PINNED"] = "1"
+    os.execvp(
+        "taskset",
+        ["taskset", "-c", f"0-{hi}", sys.executable] + sys.argv,
+    )
+
+
 def main() -> None:
+    _pin_to_cores()
+
     from win64_local_ocr_tool_spark.operators.extract import extract_all
     from win64_local_ocr_tool_spark.session import get_spark
 
@@ -144,6 +165,7 @@ def main() -> None:
                 "corpus_docs": n_docs,
                 "extract_docs_per_sec": round(n_docs / extract_sec, 1),
                 "cpus": CPUS,
+                "pinned": bool(os.environ.get("SPARK_GRAFT_PINNED")),
             }
         )
     )

@@ -161,3 +161,45 @@ def test_span_offsets_slice_text():
         assert text[start:end] == text[start:end].strip("\n")
         assert text[end] == "\n"
     assert [s[0] for s in res["spans"]] == list(range(1, len(res["spans"]) + 1))
+
+
+def test_lang_counts_fast_path_equals_reference_walk():
+    """The ASCII Counter fast path must produce exactly the counts of
+    the naive per-token walk, for arbitrary ascii and mixed inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    from win64_local_ocr_tool_spark.kernels import langid as L
+
+    def reference(text):
+        n = [0, 0, 0, 0, 0, 0]
+        for tok in L._TOKEN.findall(text):
+            n[5] += 1
+            if L._DEVA.search(tok):
+                n[4] += 1
+                if tok in L.HI_MARKERS:
+                    n[2] += 1
+                elif tok in L.SA_MARKERS:
+                    n[3] += 1
+            else:
+                low = tok.lower()
+                if low in L.EN_MARKERS:
+                    n[0] += 1
+                elif low in L.DE_MARKERS:
+                    n[1] += 1
+        return tuple(n)
+
+    words = st.sampled_from(
+        "the und cat der of hund xyz है और अस्ति इति on ist".split()
+    )
+    texts = st.lists(words, max_size=30).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(text):
+        assert L.lang_counts(text) == reference(text)
+
+    check()
+
+    # adversarial non-ascii case-fold chars must route to the walk path
+    for t in ("İstanbul the the", "STRASSE ß und und", "ꭵ the"):
+        assert L.lang_counts(t) == reference(t)

@@ -560,6 +560,17 @@ def dedup_components(spark, sf_dir):
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()
+    # Size-aware parallelism for the iteration: the candidate-pair graph
+    # is orders of magnitude smaller than the corpus (only near-dup
+    # members appear), so inheriting the corpus partition count makes
+    # every round pay ~corpus-width task overhead on near-empty
+    # partitions. One count on the checkpointed edges picks a partition
+    # count matched to the actual edge volume — the same "repartition
+    # the contracted graph" step a 10^12-doc CC run performs between
+    # rounds. The count is exact, so the result is unaffected.
+    n_edges = edges.count()
+    n_part = max(2, min(512, n_edges // 500_000 + 1))
+    edges = edges.repartition(n_part, "doc_b").localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
