@@ -53,6 +53,8 @@ HEADLINE = [
     "decontaminate_ngram",
     "sim_topk_cosine",
     "text_quality_score",
+    "text_repetition_score",
+    "stratified_sample",
     "training_data_filter",
 ]
 

@@ -35,6 +35,8 @@ SAMPLE = [
     "dedup_components",
     "decontaminate_ngram",
     "boilerplate_ngrams",
+    "text_repetition_score",
+    "stratified_sample",
     "f8_outlier_mask",
     "training_data_filter",
     "c7_math_functions",

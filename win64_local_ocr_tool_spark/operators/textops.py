@@ -19,8 +19,11 @@ LSH_BANDS = 4  # bands of rows=2 over the signature
 SHINGLE_W = 3  # words per shingle
 
 
-def _word_ngrams(docs: DataFrame, width: int, out: str) -> DataFrame:
-    """(doc_id, <out>) — distinct word n-grams of ``width`` per document.
+def _word_ngrams(
+    docs: DataFrame, width: int, out: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, <out>) — word n-grams of ``width`` per document
+    (distinct per doc unless ``distinct=False``).
 
     The words array is PROJECTED FIRST: referencing ``split(text)``
     inside the transform lambda makes Catalyst re-evaluate the split per
@@ -31,7 +34,7 @@ def _word_ngrams(docs: DataFrame, width: int, out: str) -> DataFrame:
     negative-index element access crashes under ANSI mode."""
     w = F.col("w")
     idx = F.sequence(F.lit(0), F.size(w) - width)
-    return (
+    grams = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size(w) >= width)
         .select(
@@ -43,8 +46,8 @@ def _word_ngrams(docs: DataFrame, width: int, out: str) -> DataFrame:
                 )
             ).alias(out),
         )
-        .distinct()
     )
+    return grams.distinct() if distinct else grams
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -52,9 +55,9 @@ def _shingles(docs: DataFrame) -> DataFrame:
     return _word_ngrams(docs, SHINGLE_W, "shingle")
 
 
-def _ngrams_sql(width: int, out: str) -> str:
+def _ngrams_sql(width: int, out: str, distinct: bool = True) -> str:
     return f"""
-  SELECT DISTINCT doc_id,
+  SELECT {"DISTINCT" if distinct else ""} doc_id,
          unnest(list_transform(
            generate_series(1, greatest(len(string_split(text, ' ')) - {width - 1}, 0)),
            i -> array_to_string(string_split(text, ' ')[i:i+{width - 1}], ' '))) AS {out}
@@ -774,3 +777,72 @@ def boilerplate_ngrams(spark, sf_dir):
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= BOILER_MIN_DF)
     )
+
+
+@query(
+    "text_repetition_score",
+    f"""
+    WITH grams AS ({_ngrams_sql(2, "g", distinct=False)})
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           count(DISTINCT g) AS n_distinct,
+           count(*) - count(DISTINCT g) AS n_repeated
+    FROM grams GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    """Intra-document repetition stats — the Gopher-rules quality
+    signal (Rae et al. 2021 drop docs whose duplicate-n-gram fraction
+    is high: spun text, keyword stuffing, template loops repeat the
+    same bigrams). Emits exact integer counts (total, distinct,
+    repeated bigrams per doc); the gate threshold stays downstream so
+    the compared output carries no float ratio.
+
+    Scale shape: explode + ONE per-doc aggregate, map-side combined —
+    no cross-document state at all, the cheapest of the quality
+    signals."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _word_ngrams(d, 2, "g", distinct=False)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count_distinct(F.col("g")).alias("n_distinct"),
+            (F.count("*") - F.count_distinct(F.col("g"))).alias("n_repeated"),
+        )
+    )
+
+
+# per-lang keep-rate as a hex-prefix threshold over md5(doc_id):
+# 2 hex chars = doc_id's bucket in 0..255; '80' keeps 128/256 = 50%.
+SAMPLE_RATES = {"en": "80", "de": "40", "hi": "40", "sa": "ff"}
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in SAMPLE_RATES.items())}
+          ELSE '00' END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing primitive of
+    a training pipeline (down-weight over-represented languages or
+    sources to a target mixture). Membership is a pure function of
+    doc_id: keep iff the first md5 hex byte falls under the stratum's
+    threshold, so the sample is reproducible across runs, engines and
+    partitionings (no RNG, no sample() nondeterminism), and a document
+    keeps or loses membership independently of every other row.
+
+    Scale shape: a single narrow scan-and-filter — no shuffle; the
+    hex-prefix comparison is a monotone map of a uniform hash, so each
+    stratum's realized rate concentrates tightly around its target."""
+    d = load(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.lit("00")
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(pref < rate).select("doc_id", "lang")
