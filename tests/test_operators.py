@@ -37,6 +37,7 @@ SAMPLE = [
     "boilerplate_ngrams",
     "text_repetition_score",
     "stratified_sample",
+    "training_corpus_final",
     "f8_outlier_mask",
     "training_data_filter",
     "c7_math_functions",

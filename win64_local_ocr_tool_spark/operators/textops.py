@@ -846,3 +846,78 @@ def stratified_sample(spark, sf_dir):
     for k, v in reversed(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
     return d.filter(pref < rate).select("doc_id", "lang")
+
+
+@query(
+    "training_corpus_final",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    dup_drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    grams AS ({_ngrams_sql(DECON_W, "g")}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    cont_drops AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
+    ),
+    feat AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','and','of','to','is','in','that','with',
+                            'for','on','der','die','und','das','ist')))
+               AS n_stop
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, n_words FROM feat
+      WHERE n_words >= 20 AND n_chars >= 100
+        AND (lang NOT IN ('en', 'de') OR 10 * n_stop >= n_words)
+    )
+    SELECT q.doc_id, q.lang, q.n_words
+    FROM quality q
+    LEFT JOIN dup_drops dd USING (doc_id)
+    LEFT JOIN cont_drops cd USING (doc_id)
+    WHERE dd.doc_id IS NULL AND cd.doc_id IS NULL
+      AND q.doc_id % {BENCH_MOD} <> 0
+    """,
+)
+def training_corpus_final(spark, sf_dir):
+    """The pipeline payoff, composed end-to-end: materialize the
+    training corpus that survives EVERY gate — near-dup canonicalized
+    (keep only each LSH cluster's min-id member), benchmark-
+    decontaminated (drop any doc sharing a 13-gram with the eval set,
+    and the eval set itself), and quality-filtered (length + stopword
+    floors). This is the query a data team actually ships; the
+    components are the individually-oracled operators above.
+
+    Scale shape: the corpus is scanned ONCE (the quality gate's narrow
+    filter); every exclusion list (dup drops, contaminated ids) is tiny
+    relative to the corpus and broadcast into anti-joins — the same
+    "small kill-lists against one big scan" shape as
+    dedup_canonical_docs, so no corpus-side shuffle at all."""
+    comp = dedup_components(spark, sf_dir)
+    dup_drops = comp.filter(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+    cont_drops = decontaminate_ngram(spark, sf_dir).select("doc_id")
+    quality = training_data_filter(spark, sf_dir)
+    return (
+        quality.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(dup_drops), "doc_id", "left_anti")
+        .join(F.broadcast(cont_drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_words")
+    )
