@@ -96,3 +96,28 @@ def test_scanner_matches_htmlparser_adversarial():
     doctype, implicit li closure."""
     for payload in ADVERSARIAL:
         assert scan_html(payload) == tokenize_html(payload), payload
+
+
+def test_scanner_linear_on_pathological_tag_runs():
+    """Unclosed `<tag …` runs are the (A+)* catastrophic-backtracking
+    shape; the possessive attribute-skipper must keep the scan linear
+    AND byte-equal to the HTMLParser reference on truncated/malformed
+    payloads (a crawl always contains them)."""
+    import time
+
+    from win64_local_ocr_tool_spark.kernels.htmlblocks import tokenize_html
+    from win64_local_ocr_tool_spark.kernels.htmlscan import scan_html
+
+    cases = [
+        b"<a " + b"x" * 50000,
+        b"<p>score a<b means keep iterating " + b"y" * 20000,
+        b"<div><p>hello <span",
+        b"<p>text<",
+        b'<p foo="unterminated quote ' + b"z" * 30000,
+        b"<" * 2000,
+    ]
+    for payload in cases:
+        t0 = time.perf_counter()
+        got = scan_html(payload)
+        assert time.perf_counter() - t0 < 1.0, payload[:40]
+        assert got == tokenize_html(payload), payload[:40]

@@ -19,11 +19,17 @@ from .htmlblocks import BLOCK_TAGS, SKIP_TAGS, Block
 
 # One pass: tags, comments, declarations. Attribute bodies are skipped,
 # never parsed (the classifier uses only tag names + text). The first
-# attribute-skipping alternative consumes RUNS of plain chars ([^>"']+,
-# not [^>"']) — same language, but char-at-a-time alternation is ~2x
-# slower on attribute-heavy tags.
+# attribute-skipping alternative consumes RUNS of plain chars — and it
+# MUST be possessive ([^>"']++): a backtrackable [^>"']+ inside (?:…)*
+# is the classic (A+)* catastrophic-backtracking shape, which hangs for
+# seconds on any unclosed `<tag …` run (truncated crawl pages, bare
+# `a<b` prose). Possessive is exactly equivalent here because the
+# alternatives have disjoint first characters and none can consume the
+# closing `>`, so no giveback can ever enable a match that greedy
+# matching missed. Run-consumption itself is ~2x faster than
+# char-at-a-time alternation on attribute-heavy tags.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']+|\"[^\"]*\"|'[^']*')*>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']++|\"[^\"]*\"|'[^']*')*>"
     r"|<!--.*?-->"
     r"|<![^>]*>",
     re.DOTALL,

@@ -13,6 +13,7 @@ with a result identical to the single-process path.
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 # Marker stopwords per language. Matching is on whitespace-delimited
 # tokens, lowercased for Latin scripts.
@@ -46,18 +47,18 @@ def lang_counts(text: str) -> tuple[int, int, int, int, int, int]:
         # inserts a combining mark and splits a token — hence the
         # isascii() gate). Counter counts in C; EN/DE marker sets are
         # disjoint, so summing lookups equals the if/elif walk.
-        from collections import Counter
-
         toks = _TOKEN.findall(text.lower())
         c = Counter(toks)
         n_tok = len(toks)
         n_en = sum(c[m] for m in EN_MARKERS)
         n_de = sum(c[m] for m in DE_MARKERS)
         return (n_en, n_de, 0, 0, 0, n_tok)
+    # walk path (non-ASCII input): keep the has_deva short-circuit so a
+    # Latin document with umlauts never pays a per-token Devanagari scan
     deva_search = _DEVA.search
     for tok in _TOKEN.findall(text):
         n_tok += 1
-        if deva_search(tok):
+        if has_deva and deva_search(tok):
             n_deva += 1
             if tok in HI_MARKERS:
                 n_hi += 1

@@ -521,9 +521,13 @@ def text_langid_heuristic(spark, sf_dir):
     )
 
 
-def _components_sql() -> str:
-    return f"""
-    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+# Shared connected-components CTE chain (pairs -> undirected edges ->
+# transitive closure -> min-label components). Single source of truth:
+# every oracle that needs CC (components, canonical docs, the final
+# corpus) composes THIS string, exactly as the Spark side composes
+# dedup_components() — editing the algorithm in one place cannot
+# silently desynchronize a downstream oracle.
+_CC_CTES = f"""pairs AS ({_lsh_pairs_sql()}),
     edges AS (
       SELECT doc_a, doc_b FROM pairs
       UNION
@@ -533,10 +537,15 @@ def _components_sql() -> str:
       SELECT doc_a, doc_b FROM edges
       UNION
       SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS component
-    FROM reach GROUP BY a
-    """
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    )"""
+
+
+def _components_sql() -> str:
+    return f"WITH RECURSIVE {_CC_CTES} SELECT doc_id, component FROM comp"
 
 
 @query("dedup_components", _components_sql())
@@ -557,23 +566,28 @@ def dedup_components(spark, sf_dir):
     fusing it saves a labels-vs-labels join (one shuffle) per round.
     DuckDB twin: recursive-CTE transitive closure.
     """
-    pairs = dedup_lsh_pairs(spark, sf_dir)
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
     # Size-aware parallelism for the iteration: the candidate-pair graph
     # is orders of magnitude smaller than the corpus (only near-dup
     # members appear), so inheriting the corpus partition count makes
     # every round pay ~corpus-width task overhead on near-empty
-    # partitions. One count on the checkpointed edges picks a partition
-    # count matched to the actual edge volume — the same "repartition
-    # the contracted graph" step a 10^12-doc CC run performs between
-    # rounds. The count is exact, so the result is unaffected.
-    n_edges = edges.count()
-    n_part = max(2, min(512, n_edges // 500_000 + 1))
-    edges = edges.repartition(n_part, "doc_b").localCheckpoint()
+    # partitions. Count the (half-size) pair list once on its own
+    # checkpoint, then build the undirected edge list directly into the
+    # right partition count — ONE resident copy of the edge table, not a
+    # superseded checkpoint pinned beside its repartitioned twin. This
+    # is the "repartition the contracted graph" step a 10^12-doc CC run
+    # performs between rounds; the count is exact, so the result is
+    # unaffected.
+    pairs = dedup_lsh_pairs(spark, sf_dir).localCheckpoint()
+    n_part = max(2, min(512, 2 * pairs.count() // 500_000 + 1))
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(n_part, "doc_b")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -605,21 +619,7 @@ def dedup_components(spark, sf_dir):
 @query(
     "dedup_canonical_docs",
     f"""
-    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
-    edges AS (
-      SELECT doc_a, doc_b FROM pairs
-      UNION
-      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT doc_a, doc_b FROM edges
-      UNION
-      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
-    ),
-    comp AS (
-      SELECT a AS doc_id, least(a, min(b)) AS component
-      FROM reach GROUP BY a
-    ),
+    WITH RECURSIVE {_CC_CTES},
     drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
     SELECT d.doc_id, d.source
     FROM documents d LEFT JOIN drops USING (doc_id)
@@ -644,27 +644,32 @@ def dedup_canonical_docs(spark, sf_dir):
     )
 
 
-@query(
-    "training_data_filter",
-    """
-    WITH w AS (
-      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+# Quality-gate stopword list and thresholds: the single source for BOTH
+# the Spark predicates and every oracle that embeds the gate
+# (training_data_filter, training_corpus_final).
+QUALITY_STOPWORDS = (
+    "the and of to is in that with for on der die und das ist"
+).split()
+_STOP_IN_SQL = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+_QUALITY_CTES = f"""qfeat AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_STOP_IN_SQL}))) AS n_stop
       FROM documents
     ),
-    feat AS (
-      SELECT doc_id, lang, n_chars, len(words) AS n_words,
-             len(list_filter(words,
-                 x -> x IN ('the','and','of','to','is','in','that','with',
-                            'for','on','der','die','und','das','ist')))
-               AS n_stop
-      FROM w
-    )
-    SELECT doc_id, lang, n_words
-    FROM feat
-    WHERE n_words >= 20
-      AND n_chars >= 100
-      AND (lang NOT IN ('en', 'de') OR 10 * n_stop >= n_words)
-    """,
+    quality AS (
+      SELECT doc_id, lang, n_words
+      FROM qfeat
+      WHERE n_words >= 20
+        AND n_chars >= 100
+        AND (lang NOT IN ('en', 'de') OR 10 * n_stop >= n_words)
+    )"""
+
+
+@query(
+    "training_data_filter",
+    f"WITH {_QUALITY_CTES} SELECT doc_id, lang, n_words FROM quality",
 )
 def training_data_filter(spark, sf_dir):
     """Composite quality gate — the shape of a real training-data
@@ -676,9 +681,7 @@ def training_data_filter(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    stops = (
-        "the and of to is in that with for on der die und das ist"
-    ).split()
+    stops = QUALITY_STOPWORDS
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda x: x.isin(*stops)))
     return (
@@ -711,16 +714,22 @@ BOILER_W = 5  # n-gram width for cross-document boilerplate
 BOILER_MIN_DF = 2  # a gram in >= this many docs counts as boilerplate
 
 
+# Shared contamination CTE chain (13-grams -> benchmark gram set ->
+# per-doc hit counts); composed by decontaminate_ngram and
+# training_corpus_final so the protocol lives in one string.
+_DECON_CTES = f"""grams AS ({_ngrams_sql(DECON_W, "g")}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    cont_hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM grams
+      WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
+      GROUP BY doc_id
+    )"""
+
+
 @query(
     "decontaminate_ngram",
-    f"""
-    WITH grams AS ({_ngrams_sql(DECON_W, "g")}),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0)
-    SELECT doc_id, count(*) AS n_hits
-    FROM grams
-    WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
-    GROUP BY doc_id
-    """,
+    f"WITH {_DECON_CTES} SELECT doc_id, n_hits FROM cont_hits",
 )
 def decontaminate_ngram(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
@@ -851,46 +860,14 @@ def stratified_sample(spark, sf_dir):
 @query(
     "training_corpus_final",
     f"""
-    WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
-    edges AS (
-      SELECT doc_a, doc_b FROM pairs
-      UNION
-      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT doc_a, doc_b FROM edges
-      UNION
-      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
-    ),
-    comp AS (
-      SELECT a AS doc_id, least(a, min(b)) AS component
-      FROM reach GROUP BY a
-    ),
+    WITH RECURSIVE {_CC_CTES},
     dup_drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
-    grams AS ({_ngrams_sql(DECON_W, "g")}),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
-    cont_drops AS (
-      SELECT DISTINCT doc_id FROM grams
-      WHERE doc_id % {BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
-    ),
-    feat AS (
-      SELECT doc_id, lang, n_chars,
-             len(string_split(text, ' ')) AS n_words,
-             len(list_filter(string_split(text, ' '),
-                 x -> x IN ('the','and','of','to','is','in','that','with',
-                            'for','on','der','die','und','das','ist')))
-               AS n_stop
-      FROM documents
-    ),
-    quality AS (
-      SELECT doc_id, lang, n_words FROM feat
-      WHERE n_words >= 20 AND n_chars >= 100
-        AND (lang NOT IN ('en', 'de') OR 10 * n_stop >= n_words)
-    )
+    {_DECON_CTES},
+    {_QUALITY_CTES}
     SELECT q.doc_id, q.lang, q.n_words
     FROM quality q
     LEFT JOIN dup_drops dd USING (doc_id)
-    LEFT JOIN cont_drops cd USING (doc_id)
+    LEFT JOIN (SELECT doc_id FROM cont_hits) cd USING (doc_id)
     WHERE dd.doc_id IS NULL AND cd.doc_id IS NULL
       AND q.doc_id % {BENCH_MOD} <> 0
     """,
