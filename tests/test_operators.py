@@ -106,3 +106,37 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() == 1100
     assert set(df.columns) >= {"url", "status", "extracted_text", "spans", "lang"}
+
+
+def test_curate_cli_matches_registry_query(spark, sf_dir, tmp_path):
+    """`jobs curate` is the training_corpus_final composition as a
+    spark-submit surface: its parquet output must equal the registry
+    query row-for-row."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "win64_local_ocr_tool_spark.jobs",
+            "curate",
+            "--input",
+            sf_dir,
+            "--output",
+            out,
+            "--master",
+            "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    expected = entry.queries()["training_corpus_final"](spark, sf_dir)
+    exp_rows = sorted(map(tuple, expected.collect()))
+    got_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert stats["n_docs_kept"] == len(exp_rows)
+    assert got_rows == exp_rows

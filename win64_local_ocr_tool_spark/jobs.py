@@ -44,6 +44,17 @@ def _build_parser() -> argparse.ArgumentParser:
                          "killed job loses at most one group")
     ex.add_argument("--master", default=None)
 
+    cu = sub.add_parser(
+        "curate",
+        help="materialize the final training corpus: near-dup "
+             "canonicalized, benchmark-decontaminated, quality-gated "
+             "(the training_corpus_final composition)",
+    )
+    cu.add_argument("--input", required=True,
+                    help="directory containing documents.parquet")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--master", default=None)
+
     st = sub.add_parser(
         "stream",
         help="drain newly-arrived document files incrementally "
@@ -64,6 +75,31 @@ def main(argv: list[str] | None = None) -> int:
     from .corpus import corpus_df
     from .pipeline import run_extraction
     from .session import get_spark
+
+    if args.cmd == "curate":
+        from .operators.textops import training_corpus_final
+
+        spark = get_spark("curate-job", master=args.master)
+        try:
+            training_corpus_final(spark, args.input).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+            n_kept = spark.read.parquet(args.output).count()
+            n_in = spark.read.parquet(
+                f"{args.input}/documents.parquet"
+            ).count()
+            print(
+                json.dumps(
+                    {
+                        "out_dir": args.output,
+                        "n_docs_in": n_in,
+                        "n_docs_kept": n_kept,
+                    }
+                )
+            )
+            return 0
+        finally:
+            spark.stop()
 
     if args.cmd == "stream":
         from .session import get_spark as _get_spark
