@@ -113,3 +113,13 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     plan = _plan(entry.queries()["decontaminate_ngram"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_final_corpus_kill_lists_broadcast(spark, sf_dir):
+    """training_corpus_final: both kill lists (non-canonical dups,
+    contaminated ids) must broadcast into anti-joins against the one
+    corpus scan — a SortMergeJoin here would mean the corpus side
+    shuffles on doc_id."""
+    plan = _plan(entry.queries()["training_corpus_final"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
