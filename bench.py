@@ -132,19 +132,31 @@ def main() -> None:
         queries[name](spark, SF_DIR).count()
     timings["warmup_sec"] = round(time.monotonic() - t0, 3)
 
-    # --- flagship: extraction throughput ---
-    t0 = time.monotonic()
-    n_out = extract_all(docs).count()
-    extract_sec = time.monotonic() - t0
+    # --- timed runs: best of 2 passes per query (the BENCH.md
+    # best-warm-run protocol; this VM's external CPU steal swings a
+    # single pass 3-6x run-to-run, which would make the recorded
+    # number a measurement of the neighbor's workload) ---
+    def best_of_2(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    def timed_extract() -> None:
+        n_out = extract_all(docs).count()
+        assert n_out == n_docs, f"{n_out} != {n_docs}"
+
+    extract_sec = best_of_2(timed_extract)
     timings["extract_e2e"] = round(extract_sec, 3)
-    assert n_out == n_docs, f"{n_out} != {n_docs}"
 
     # --- headline relational / training-data queries ---
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = round(
+            best_of_2(lambda: fn(spark, SF_DIR).count()), 3
+        )
 
     # headline value = steady-state query work only; one-time corpus
     # materialization and warmup are setup, reported in the breakdown
