@@ -272,58 +272,49 @@ _HI_HEX = "'8','9','a','b','c','d','e','f'"
     "dedup_simhash",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    bits AS (
-      SELECT doc_id, unnest(generate_series(0, 15)) AS b, md5(shingle) AS h
-      FROM sh
-    ),
     weighted AS (
-      SELECT doc_id, b,
-             sum(CASE WHEN substr(h, b + 1, 1) IN ({_HI_HEX})
-                      THEN 1 ELSE -1 END) AS w
-      FROM bits GROUP BY doc_id, b
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN substr(md5(shingle), {b + 1}, 1) IN ({_HI_HEX}) "
+                 f"THEN 1 ELSE -1 END) AS w{b}"
+                 for b in range(16)
+             )}
+      FROM sh GROUP BY doc_id
     )
     SELECT doc_id,
-           string_agg(CASE WHEN w >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
-             AS simhash16
-    FROM weighted GROUP BY doc_id
+           concat({", ".join(
+               f"CASE WHEN w{b} >= 0 THEN '1' ELSE '0' END" for b in range(16)
+           )}) AS simhash16
+    FROM weighted
     """,
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash over shingle md5s: per-bit +/-1 vote, sign =
     signature bit. Bit b is read from hex digit b of the shingle hash —
-    pure string ops, engine-portable."""
+    pure string ops, engine-portable.
+
+    Shape: all 16 bit-votes are columns of ONE doc_id aggregate
+    (map-side combined), not an exploded (doc_id, bit) long table — the
+    long form 16x's the shuffle rows and needs a second shuffle plus an
+    ordered collect to reassemble the signature string. Same pattern as
+    dedup_minhash_sig's 8 signature columns."""
     sh = _shingles(load(spark, sf_dir, "documents")).withColumn(
         "h", F.md5("shingle")
     )
-    bits = sh.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
-    )
-    weighted = bits.groupBy("doc_id", "b").agg(
+    aggs = [
         F.sum(
             F.when(
-                F.substring(F.col("h"), F.col("b") + 1, 1).isin(
-                    *"89abcdef"
-                ),
-                1,
+                F.substring(F.col("h"), b + 1, 1).isin(*"89abcdef"), 1
             ).otherwise(-1)
-        ).alias("w")
-    )
-    return weighted.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "b",
-                            F.when(F.col("w") >= 0, "1").otherwise("0").alias("bit"),
-                        )
-                    )
-                ),
-                lambda x: x["bit"],
-            ),
-            "",
-        ).alias("simhash16")
-    )
+        ).alias(f"w{b}")
+        for b in range(16)
+    ]
+    weighted = sh.groupBy("doc_id").agg(*aggs)
+    bits = [
+        F.when(F.col(f"w{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(16)
+    ]
+    return weighted.select("doc_id", F.concat(*bits).alias("simhash16"))
 
 
 WINNOW_K = 8  # k-gram length (chars)
