@@ -132,8 +132,9 @@ def test_curate_cli_matches_registry_query(spark, sf_dir, tmp_path):
         ],
         capture_output=True,
         text=True,
-        check=True,
+        timeout=600,
     )
+    assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     expected = entry.queries()["training_corpus_final"](spark, sf_dir)
     exp_rows = sorted(map(tuple, expected.collect()))

@@ -121,5 +121,14 @@ def test_final_corpus_kill_lists_broadcast(spark, sf_dir):
     corpus scan — a SortMergeJoin here would mean the corpus side
     shuffles on doc_id."""
     plan = _plan(entry.queries()["training_corpus_final"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
+    # count anti-joins specifically: the decontaminate subtree already
+    # contains an inner BroadcastHashJoin, so a bare BHJ count would
+    # pass even if a kill-list join regressed to a shuffled variant
+    n_anti_bhj = sum(
+        1
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "LeftAnti" in line
+    )
+    assert n_anti_bhj >= 2, plan
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

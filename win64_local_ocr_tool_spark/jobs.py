@@ -77,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     if args.cmd == "curate":
+        from .operators.tables import load
         from .operators.textops import training_corpus_final
 
         spark = get_spark("curate-job", master=args.master)
@@ -85,9 +86,7 @@ def main(argv: list[str] | None = None) -> int:
                 "overwrite"
             ).parquet(args.output)
             n_kept = spark.read.parquet(args.output).count()
-            n_in = spark.read.parquet(
-                f"{args.input}/documents.parquet"
-            ).count()
+            n_in = load(spark, args.input, "documents").count()
             print(
                 json.dumps(
                     {

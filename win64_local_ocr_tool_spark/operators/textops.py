@@ -272,14 +272,15 @@ _HI_HEX = "'8','9','a','b','c','d','e','f'"
     "dedup_simhash",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
     weighted AS (
       SELECT doc_id,
              {", ".join(
-                 f"sum(CASE WHEN substr(md5(shingle), {b + 1}, 1) IN ({_HI_HEX}) "
+                 f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ({_HI_HEX}) "
                  f"THEN 1 ELSE -1 END) AS w{b}"
                  for b in range(16)
              )}
-      FROM sh GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     )
     SELECT doc_id,
            concat({", ".join(
