@@ -43,6 +43,7 @@ SEED = 42
 # headline relational/training-data queries (from the registry)
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
     "j3_composite_equi_join",
     "o5_top_k_per_group",
     "sessionize",

@@ -132,3 +132,11 @@ def test_final_corpus_kill_lists_broadcast(spark, sf_dir):
     assert n_anti_bhj >= 2, plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_q5_dimension_chain_broadcasts(spark, sf_dir):
+    """Q5's region->nation->supplier->customer dimension chain must all
+    broadcast; only the orders-lineitem spine may shuffle."""
+    plan = _plan(entry.queries()["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan

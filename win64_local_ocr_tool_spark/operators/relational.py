@@ -707,3 +707,110 @@ def c_scalar_functions(spark, sf_dir):
         F.format_string("doc%05d", "doc_id").alias("tag"),
         F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
     )
+
+
+def _exact_revenue():
+    """sum(extendedprice * (1 - discount)) in EXACT integer arithmetic,
+    emitted as integer CENTS: cents x (100 - discount-percent) summed as
+    longs, then half-up divided by 100 via (sum + 50) integer floor-div.
+    A float product of two 2-decimal factors is an exact 4-decimal value
+    that can land on a half-cent, where round(, 2) ties break
+    differently per engine (Spark rounds the shortest decimal repr,
+    DuckDB the binary value — observed 150873.96 vs .95). Integer state
+    has no ties — the w5_confidence_product rule (CLAUDE.md: no float
+    columns in compared output)."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        F.floor((F.sum(cents * (100 - dpct)) + 50) / 100)
+        .cast("long")
+        .alias("revenue_cents")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 + 50) / 100) AS BIGINT) AS revenue_cents,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped 3-table join + grouped agg — the multi-join
+    stress of J3's composite-key pattern. Filters are applied per table
+    BEFORE the joins (Catalyst pushes them into the scans); the filtered
+    customer dim broadcasts so the fact side shuffles only on the
+    order-lineitem key."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_exact_revenue())
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 + 50) / 100) AS BIGINT) AS revenue_cents
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped 6-table join (the join-ordering showcase): the
+    region->nation->supplier dimension chain collapses to broadcast
+    joins, the customer-nation equality is the classic non-key join
+    predicate, and only the orders-lineitem spine shuffles. The q1/q3/q5
+    trio demonstrates that Catalyst's join selection handles the
+    reference's relational glue with zero custom planning (SURVEY §4)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_exact_revenue())
+    )
