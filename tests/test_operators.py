@@ -21,6 +21,7 @@ SAMPLE = [
     "f7_skew_split",
     "j1_range_join",
     "j5_resume_anti_join",
+    "j6_asof_join",
     "w3_lag_boundary",
     "w5_confidence_product",
     "o5_top_k_per_group",

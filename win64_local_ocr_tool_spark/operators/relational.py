@@ -814,3 +814,61 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(_exact_revenue())
     )
+
+
+@query(
+    "j6_asof_join",
+    """
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ordered AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_type, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_click_id
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def j6_asof_join(spark, sf_dir):
+    """As-of join — the classic operator Spark lacks natively, built as
+    the union+window composition (the scale path): tag both sides, sort
+    once within user, and carry the last non-null left-side id forward.
+    Each purchase gets the most recent click at-or-before its timestamp.
+
+    ONE shuffle (user_id) regardless of key cardinality — vs a per-key
+    range join which explodes quadratically on hot users. Ties are
+    pinned deterministically (ts, then event_type 'click' < 'purchase'
+    so an equal-timestamp click is visible to the purchase, then
+    event_id), which is also why the oracle uses the same window form
+    rather than DuckDB's native ASOF JOIN: ASOF leaves the choice among
+    equal right-side timestamps unspecified."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+        )
+    )
