@@ -80,6 +80,7 @@ def test_every_query_has_oracle_or_is_documented():
         "media_features",
         "media_resize",
         "media_frame_sample",
+        "a10_approx_distinct",  # HLL sketches differ across engines
     }
     q = set(entry.queries())
     o = set(entry.oracle_sql())
@@ -142,3 +143,14 @@ def test_curate_cli_matches_registry_query(spark, sf_dir, tmp_path):
     got_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert stats["n_docs_kept"] == len(exp_rows)
     assert got_rows == exp_rows
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """The HLL++ estimate must sit within 5% of the exact distinct count
+    for every group (rsd was configured at 0.01)."""
+    rows = entry.queries()["a10_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            1, 0.05 * r.exact_users
+        ), r

@@ -872,3 +872,22 @@ def j6_asof_join(spark, sf_dir):
             "last_click_id",
         )
     )
+
+
+@query("a10_approx_distinct")
+def a10_approx_distinct(spark, sf_dir):
+    """HLL++ approximate-distinct sketch (SURVEY A10's
+    approx_count_distinct — the dedup-stats primitive at corpus scale,
+    where exact countDistinct would shuffle every key). Emits the
+    sketch estimate beside the exact count per event_type; rows-only
+    for the driver because HLL implementations differ across engines
+    by construction — accuracy is pytest-gated instead
+    (tests/test_operators.py::test_approx_distinct_accuracy)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
