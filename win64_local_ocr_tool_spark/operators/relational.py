@@ -891,3 +891,44 @@ def a10_approx_distinct(spark, sf_dir):
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
+
+
+@query(
+    "q18_large_volume_order",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+           qty_sum
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN big ON big.l_orderkey = o_orderkey
+    """,
+)
+def q18_large_volume_order(spark, sf_dir):
+    """TPC-H-Q18-shaped query: the aggregate-HAVING subquery feeding a
+    join — Catalyst plans the decorrelated form directly (the aggregate
+    runs once, its survivors drive the join) with no per-row subquery
+    re-execution. qty_sum is cast to BIGINT (quantities are integral)
+    so the compared column is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qs"))
+        .filter(F.col("qs") > 180)
+        .select("l_orderkey", F.col("qs").cast("long").alias("qty_sum"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            "qty_sum",
+        )
+    )
