@@ -63,6 +63,23 @@ def canon_rows(pdf):
     return cols, sorted(rows, key=repr)
 
 
+def dtype_tags(pdf):
+    """Materialized-dtype tag per (sorted) column — the typed half of the
+    driver gate. The round-1 lesson: five queries had identical VALUES
+    but hash-failed because an uncast integer sum() reached DuckDB as
+    HUGEINT, which lands in pandas as float64 where Spark's BIGINT lands
+    as int64 — a value-canonicalizing compare can't see that, a dtype
+    compare can. Int widths collapse to one tag (both engines print ints
+    identically) and datetime units are unified; int-vs-float is exactly
+    the mismatch class this must catch."""
+    tags = {}
+    for c in sorted(pdf.columns):
+        k = pdf[c].dtype.kind  # i/u int, f float, O object, M datetime, b bool
+        tags[c] = {"i": "int", "u": "int", "f": "float", "M": "datetime",
+                   "b": "bool"}.get(k, "obj")
+    return tags
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from win64_local_ocr_tool_spark.session import get_spark
@@ -100,6 +117,12 @@ def main() -> int:
         wc, wr = canon_rows(want)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} vs {wc}")
+            failed.append(name)
+            continue
+        gt, wt = dtype_tags(got), dtype_tags(want)
+        if gt != wt:
+            bad = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt[c]}
+            print(f"FAIL {name}: dtype mismatch (spark, duck) = {bad}")
             failed.append(name)
             continue
         if len(gr) != len(wr):

@@ -184,7 +184,8 @@ def a9_norm_edit_distance(spark, sf_dir):
 @query(
     "a10_rollup",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY ROLLUP (lang, source)
     """,
 )
@@ -440,8 +441,8 @@ def w2_stable_row_number(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           sum(CASE WHEN prev_type IS NOT NULL AND event_type <> prev_type
-                    THEN 1 ELSE 0 END) AS n_boundaries
+           CAST(sum(CASE WHEN prev_type IS NOT NULL AND event_type <> prev_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries
     FROM x GROUP BY user_id
     """,
 )
@@ -555,7 +556,8 @@ def w5_confidence_product(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM x GROUP BY user_id
     """,
 )

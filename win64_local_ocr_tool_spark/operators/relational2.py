@@ -57,9 +57,9 @@ def a5_profile_sum(spark, sf_dir):
     "a8_running_average",
     """
     SELECT user_id, event_id,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS running_sum_scaled,
            count(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
@@ -131,7 +131,7 @@ def f4_length_filter(spark, sf_dir):
     """
     SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
                 THEN 'train' ELSE 'val' END AS split,
-           count(*) AS n, sum(n_chars) AS chars
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1
     """,
 )
