@@ -111,7 +111,8 @@ def main() -> None:
     from win64_local_ocr_tool_spark.operators.extract import extract_all
     from win64_local_ocr_tool_spark.session import get_spark
 
-    import __spark_entry__ as entry
+    import __spark_entry__ as entry  # noqa: F401 (driver-contract import check)
+    from win64_local_ocr_tool_spark.operators.registry import QUERIES as REG
 
     sf = sf_from_dir(SF_DIR)
     n_docs = corpus_docs_for_sf(sf)
@@ -126,7 +127,7 @@ def main() -> None:
 
     # --- warmup: absorb JVM JIT + Python worker fork (untimed) ---
     docs = spark.read.parquet(corpus_path)
-    queries = entry.queries()
+    queries = REG
     t0 = time.monotonic()
     extract_all(docs.limit(2000)).count()
     for name in HEADLINE:

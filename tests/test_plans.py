@@ -2,7 +2,7 @@
 (pushdown, pruning, broadcast, top-k pushdown, shuffle-free hot path)
 must be visible in the executed plan, not just claimed (SURVEY §4)."""
 
-import __spark_entry__ as entry
+from win64_local_ocr_tool_spark.operators.registry import QUERIES as REG
 
 from win64_local_ocr_tool_spark.corpus import corpus_df
 from win64_local_ocr_tool_spark.operators.extract import extract_all, extract_normal
@@ -13,7 +13,7 @@ def _plan(df) -> str:
 
 
 def test_filter_and_projection_push_into_scan(spark, sf_dir):
-    plan = _plan(entry.queries()["f1_threshold_filter"](spark, sf_dir))
+    plan = _plan(REG["f1_threshold_filter"](spark, sf_dir))
     scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "GreaterThan(value,75.0)" in scan
     assert "EqualTo(event_type,click)" in scan
@@ -23,13 +23,13 @@ def test_filter_and_projection_push_into_scan(spark, sf_dir):
 
 
 def test_dim_joins_are_broadcast(spark, sf_dir):
-    plan = _plan(entry.queries()["j3_composite_equi_join"](spark, sf_dir))
+    plan = _plan(REG["j3_composite_equi_join"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2  # nation & region at minimum
     assert "SortMergeJoin" not in plan  # no fact-side re-shuffle
 
 
 def test_global_topk_is_take_ordered(spark, sf_dir):
-    plan = _plan(entry.queries()["o8_global_topk"](spark, sf_dir))
+    plan = _plan(REG["o8_global_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # never a full sort
 
 
@@ -72,7 +72,7 @@ def test_resume_anti_join_is_broadcast(spark, tmp_path, sf_dir):
 def test_majority_mask_join_is_broadcast(spark, sf_dir):
     """f8's tiny majority table (one row per group) must broadcast back
     onto the fact side — no second shuffle of events."""
-    plan = _plan(entry.queries()["f8_outlier_mask"](spark, sf_dir))
+    plan = _plan(REG["f8_outlier_mask"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -81,7 +81,7 @@ def test_graph_kernels_single_shuffle(spark, sf_dir):
     """O6/U4 applyInPandas kernels: exactly one Exchange (the groupBy
     key) — graphs never span groups, so no iterative joins appear."""
     for name in ("o6_mst_kruskal", "u4_dbscan_closure"):
-        plan = _plan(entry.queries()[name](spark, sf_dir))
+        plan = _plan(REG[name](spark, sf_dir))
         assert plan.count("Exchange") == 1, name
         assert "FlatMapGroupsInPandas" in plan, name
 
@@ -93,7 +93,7 @@ def test_dedup_banding_is_single_pass_over_materialized_table(spark, sf_dir):
     per join side (8x at 4 bands — no ReusedExchange across branches).
     Gate: the pair join's executed plan reads the materialized RDD, not
     the source parquet, and carries only the band-join exchange(s)."""
-    plan = _plan(entry.queries()["dedup_lsh_pairs"](spark, sf_dir))
+    plan = _plan(REG["dedup_lsh_pairs"](spark, sf_dir))
     assert "Scan parquet" not in plan
     assert plan.count("Exchange") <= 3
 
@@ -102,7 +102,7 @@ def test_dedup_jaccard_materializes_shingles_once(spark, sf_dir):
     """The shingle set feeds four consumers (df-cap, sizes, both
     self-join sides); it must be computed once (localCheckpoint), so the
     executed plan never re-reads the documents parquet."""
-    plan = _plan(entry.queries()["dedup_ngram_jaccard"](spark, sf_dir))
+    plan = _plan(REG["dedup_ngram_jaccard"](spark, sf_dir))
     assert "Scan parquet" not in plan
 
 
@@ -110,7 +110,7 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     """Eval suites are tiny next to a training corpus: the benchmark
     gram set must broadcast so the corpus side streams through without
     a corpus-wide shuffle on the gram key."""
-    plan = _plan(entry.queries()["decontaminate_ngram"](spark, sf_dir))
+    plan = _plan(REG["decontaminate_ngram"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -120,7 +120,7 @@ def test_final_corpus_kill_lists_broadcast(spark, sf_dir):
     contaminated ids) must broadcast into anti-joins against the one
     corpus scan — a SortMergeJoin here would mean the corpus side
     shuffles on doc_id."""
-    plan = _plan(entry.queries()["training_corpus_final"](spark, sf_dir))
+    plan = _plan(REG["training_corpus_final"](spark, sf_dir))
     # count anti-joins specifically: the decontaminate subtree already
     # contains an inner BroadcastHashJoin, so a bare BHJ count would
     # pass even if a kill-list join regressed to a shuffled variant
@@ -137,6 +137,6 @@ def test_final_corpus_kill_lists_broadcast(spark, sf_dir):
 def test_q5_dimension_chain_broadcasts(spark, sf_dir):
     """Q5's region->nation->supplier->customer dimension chain must all
     broadcast; only the orders-lineitem spine may shuffle."""
-    plan = _plan(entry.queries()["q5_local_supplier_volume"](spark, sf_dir))
+    plan = _plan(REG["q5_local_supplier_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan

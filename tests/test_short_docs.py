@@ -6,7 +6,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-import __spark_entry__ as entry
+from win64_local_ocr_tool_spark.operators.registry import ORACLES as REG_SQL, QUERIES as REG
 
 DOCS = pd.DataFrame(
     {
@@ -35,7 +35,7 @@ def tiny_sf_dir(tmp_path_factory):
      "doc_fingerprint_winnow", "dedup_simhash"],
 )
 def test_short_docs_match_oracle(spark, tiny_sf_dir, name):
-    df = entry.queries()[name](spark, tiny_sf_dir)
+    df = REG[name](spark, tiny_sf_dir)
     got = (
         df.toPandas().sort_values(by=list(df.columns)).reset_index(drop=True)
     )
@@ -45,7 +45,7 @@ def test_short_docs_match_oracle(spark, tiny_sf_dir, name):
         f"read_parquet('{tiny_sf_dir}/documents.parquet')"
     )
     want = (
-        con.execute(entry.oracle_sql()[name])
+        con.execute(REG_SQL[name])
         .df()
         .sort_values(by=list(got.columns))
         .reset_index(drop=True)

@@ -1,0 +1,792 @@
+"""Consolidated family queries for the driver's evaluation window.
+
+Round-1 lesson: the driver checks only the FIRST 50 registry entries, so
+81 fine-grained queries left the whole training-data family outside the
+checked window. This module folds near-duplicate §2 entries into family
+queries — each fold COMPOSES the existing component DataFrames and
+oracle SQL fragments (never copies them), tags branches with a ``part``
+column, and unions them under one explicitly-typed schema — bringing
+the exported registry to <= 50 SQL-oracled entries while every §2 row
+stays covered (COVERAGE.md maps row -> family entry -> component).
+
+The fine-grained component queries remain registered in the internal
+registry (``registry.QUERIES``) for tests/bench/plan-gates; only
+``__spark_entry__`` narrows what the driver sees.
+
+Folding discipline (driver hash safety): every branch aliases columns
+identically on both sides, NULL fill-ins are explicitly CAST on both
+sides, and integer SQL sums are CAST to BIGINT (the round-1 HUGEINT
+lesson). Where components share a grain they are computed in ONE pass
+(w_lag_boundary_gap, w_frames_running, text_profile) — cheaper than
+the originals, not just fewer registry rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import multimodal, relational, relational2, relational3, similarity, textops
+from .registry import ORACLES, query
+from .tables import load
+
+
+def _nul(t: str):
+    return F.lit(None).cast(t)
+
+
+# ---------------------------------------------------------------------------
+# A-family folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_stats_extents",
+    f"""
+    SELECT 'flag' AS part, e.l_returnflag AS grp,
+           e.min_price, e.max_price, e.first_ship, e.last_ship,
+           m.med_qty, CAST(NULL AS DOUBLE) AS p80_price
+    FROM ({ORACLES["a2_group_extents"]}) e
+    JOIN ({ORACLES["a3_exact_median"]}) m USING (l_returnflag)
+    UNION ALL
+    SELECT 'prio', o_orderpriority, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), p80_price
+    FROM ({ORACLES["a4_percentile"]})
+    """,
+)
+def a_stats_extents(spark, sf_dir):
+    """SURVEY A2 (group extents) + A3 (exact median) + A4 (percentile)
+    as one family entry: the extents and median branches share the
+    l_returnflag grain and JOIN; the percentile branch unions in under
+    its own ``part`` tag. Components: relational.a2/a3/a4."""
+    ext = relational.a2_group_extents(spark, sf_dir)
+    med = relational.a3_exact_median(spark, sf_dir)
+    p80 = relational.a4_percentile(spark, sf_dir)
+    flag = ext.join(med, "l_returnflag").select(
+        F.lit("flag").alias("part"),
+        F.col("l_returnflag").alias("grp"),
+        "min_price", "max_price", "first_ship", "last_ship", "med_qty",
+        _nul("double").alias("p80_price"),
+    )
+    prio = p80.select(
+        F.lit("prio").alias("part"),
+        F.col("o_orderpriority").alias("grp"),
+        _nul("double").alias("min_price"),
+        _nul("double").alias("max_price"),
+        _nul("timestamp").alias("first_ship"),
+        _nul("timestamp").alias("last_ship"),
+        _nul("double").alias("med_qty"),
+        "p80_price",
+    )
+    return flag.unionByName(prio)
+
+
+@query(
+    "a_label_vote_distinct",
+    f"""
+    SELECT 'majority' AS part, user_id,
+           majority_type AS label_a, CAST(NULL AS VARCHAR) AS label_b,
+           votes
+    FROM ({ORACLES["a6_majority_vote"]})
+    UNION ALL
+    SELECT 'distinct', CAST(NULL AS BIGINT), lang, source,
+           CAST(NULL AS BIGINT)
+    FROM ({ORACLES["a7_distinct_labels"]})
+    """,
+)
+def a_label_vote_distinct(spark, sf_dir):
+    """SURVEY A6 (majority vote) + A7 (distinct label set) folded.
+    Components: relational.a6/a7."""
+    maj = relational.a6_majority_vote(spark, sf_dir)
+    dis = relational.a7_distinct_labels(spark, sf_dir)
+    return maj.select(
+        F.lit("majority").alias("part"),
+        "user_id",
+        F.col("majority_type").alias("label_a"),
+        _nul("string").alias("label_b"),
+        "votes",
+    ).unionByName(
+        dis.select(
+            F.lit("distinct").alias("part"),
+            _nul("long").alias("user_id"),
+            F.col("lang").alias("label_a"),
+            F.col("source").alias("label_b"),
+            _nul("long").alias("votes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-family folds (single-pass: one window sort serves every aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_lag_boundary_gap",
+    """
+    WITH x AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER win AS prev_type,
+             date_diff('second', lag(ts) OVER win, ts) AS gap_s
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_type IS NOT NULL
+                          AND event_type <> prev_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM x GROUP BY user_id
+    """,
+)
+def w_lag_boundary_gap(spark, sf_dir):
+    """SURVEY W3 (lag boundary count) + W4 (successive-gap stats) in ONE
+    window pass — both lags share the (user_id; ts, event_id) sort, so
+    folding removes a whole shuffle+sort vs running w3 and w4
+    separately (reference: label-change midpoint split
+    segment_from_point_clusters.py:82-95; inter-peak gaps
+    segment_old_method.py:19)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "gap_s",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            ).cast("long"),
+        )
+    )
+    return x.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("prev_type").isNotNull()
+                & (F.col("event_type") != F.col("prev_type")),
+                1,
+            ).otherwise(0)
+        ).alias("n_boundaries"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@query(
+    "w_frames_running",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS ctx_avg,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_sum_scaled,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
+    FROM events
+    """,
+)
+def w_frames_running(spark, sf_dir):
+    """SURVEY W7 (sliding context frame) + A8 (exact running-sum state)
+    in ONE window pass: both frames share the same partition+sort, so
+    Spark evaluates them over a single shuffle+sort. Running state is
+    the exact scaled integer (the Averager analog,
+    recognition/utils.py:147-167) — the mean is reporting-time
+    division, never a compared float."""
+    ev = load(spark, sf_dir, "events")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ctx = base.rowsBetween(-1, 1)
+    w_run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w_ctx), 4).alias("ctx_avg"),
+        F.sum(scaled).over(w_run).alias("running_sum_scaled"),
+        F.count("*").over(w_run).alias("n_seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-family fold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_filter_family",
+    f"""
+    SELECT 'threshold' AS part, event_id AS id,
+           user_id AS aux, CAST(NULL AS VARCHAR) AS label, value AS metric
+    FROM ({ORACLES["f1_threshold_filter"]})
+    UNION ALL
+    SELECT 'binarize', event_id, CAST(is_dense AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM ({ORACLES["f2_binarize_mask"]})
+    UNION ALL
+    SELECT 'nullif', CAST(NULL AS BIGINT), n, kept_label,
+           CAST(NULL AS DOUBLE)
+    FROM ({ORACLES["f3_null_label_filter"]})
+    UNION ALL
+    SELECT 'length', doc_id, n_chars, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM ({ORACLES["f4_length_filter"]})
+    UNION ALL
+    SELECT 'prune', p_partkey, CAST(p_size AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM ({ORACLES["f6_projection_prune"]})
+    """,
+)
+def f_filter_family(spark, sf_dir):
+    """SURVEY F1 (threshold) + F2 (binarize mask) + F3 (null-label drop)
+    + F4 (length filter) + F6 (projection prune) folded under part
+    tags. Components keep their individual plan properties (F1/F6
+    pushdown is gated in tests/test_plans.py against the component
+    plans)."""
+    f1 = relational.f1_threshold_filter(spark, sf_dir)
+    f2 = relational3.f2_binarize_mask(spark, sf_dir)
+    f3 = relational3.f3_null_label_filter(spark, sf_dir)
+    f4 = relational2.f4_length_filter(spark, sf_dir)
+    f6 = relational3.f6_projection_prune(spark, sf_dir)
+    return (
+        f1.select(
+            F.lit("threshold").alias("part"),
+            F.col("event_id").alias("id"),
+            F.col("user_id").alias("aux"),
+            _nul("string").alias("label"),
+            F.col("value").alias("metric"),
+        )
+        .unionByName(
+            f2.select(
+                F.lit("binarize").alias("part"),
+                F.col("event_id").alias("id"),
+                F.col("is_dense").cast("long").alias("aux"),
+                _nul("string").alias("label"),
+                _nul("double").alias("metric"),
+            )
+        )
+        .unionByName(
+            f3.select(
+                F.lit("nullif").alias("part"),
+                _nul("long").alias("id"),
+                F.col("n").alias("aux"),
+                F.col("kept_label").alias("label"),
+                _nul("double").alias("metric"),
+            )
+        )
+        .unionByName(
+            f4.select(
+                F.lit("length").alias("part"),
+                F.col("doc_id").alias("id"),
+                F.col("n_chars").alias("aux"),
+                _nul("string").alias("label"),
+                _nul("double").alias("metric"),
+            )
+        )
+        .unionByName(
+            f6.select(
+                F.lit("prune").alias("part"),
+                F.col("p_partkey").alias("id"),
+                F.col("p_size").cast("long").alias("aux"),
+                _nul("string").alias("label"),
+                _nul("double").alias("metric"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-family folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o_sort_family",
+    f"""
+    SELECT 'lex' AS part, doc_id AS id, source,
+           CAST(pos AS BIGINT) AS num, CAST(NULL AS VARCHAR) AS ordered_ids
+    FROM ({ORACLES["o1_lexicographic_rank"]})
+    UNION ALL
+    SELECT 'numkey', doc_id, source, CAST(src_num AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM ({ORACLES["o2_numeric_key_sort"]})
+    UNION ALL
+    SELECT 'array', user_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           ordered_ids
+    FROM ({ORACLES["o3_sorted_array"]})
+    """,
+)
+def o_sort_family(spark, sf_dir):
+    """SURVEY O1 (lexicographic ordinal) + O2/O7 (numeric-aware key
+    sort) + O3 (sorted collected array) folded. Components:
+    relational3.o1/o3, relational2.o2."""
+    o1 = relational3.o1_lexicographic_rank(spark, sf_dir)
+    o2 = relational2.o2_numeric_key_sort(spark, sf_dir)
+    o3 = relational3.o3_sorted_array(spark, sf_dir)
+    return (
+        o1.select(
+            F.lit("lex").alias("part"),
+            F.col("doc_id").alias("id"),
+            "source",
+            F.col("pos").cast("long").alias("num"),
+            _nul("string").alias("ordered_ids"),
+        )
+        .unionByName(
+            o2.select(
+                F.lit("numkey").alias("part"),
+                F.col("doc_id").alias("id"),
+                "source",
+                F.col("src_num").cast("long").alias("num"),
+                _nul("string").alias("ordered_ids"),
+            )
+        )
+        .unionByName(
+            o3.select(
+                F.lit("array").alias("part"),
+                F.col("user_id").alias("id"),
+                _nul("string").alias("source"),
+                _nul("long").alias("num"),
+                "ordered_ids",
+            )
+        )
+    )
+
+
+@query(
+    "o5_topk_minby",
+    f"""
+    SELECT 'topk' AS part, o_orderpriority AS grp, o_orderkey AS id_a,
+           o_totalprice AS price, CAST(rn AS BIGINT) AS rn,
+           CAST(NULL AS BIGINT) AS id_b
+    FROM ({ORACLES["o5_top_k_per_group"]})
+    UNION ALL
+    SELECT 'minby', CAST(user_id AS VARCHAR), cheapest_event,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), priciest_event
+    FROM ({ORACLES["o5_min_by_reduce"]})
+    """,
+)
+def o5_topk_minby(spark, sf_dir):
+    """SURVEY O5 both shapes — top-k-per-group (window rn <= k) and the
+    min-by/max-by reduce — folded. Components: relational.o5_top_k,
+    relational2.o5_min_by_reduce."""
+    topk = relational.o5_top_k_per_group(spark, sf_dir)
+    minby = relational2.o5_min_by_reduce(spark, sf_dir)
+    return topk.select(
+        F.lit("topk").alias("part"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("id_a"),
+        F.col("o_totalprice").alias("price"),
+        F.col("rn").cast("long").alias("rn"),
+        _nul("long").alias("id_b"),
+    ).unionByName(
+        minby.select(
+            F.lit("minby").alias("part"),
+            F.col("user_id").cast("string").alias("grp"),
+            F.col("cheapest_event").alias("id_a"),
+            _nul("double").alias("price"),
+            _nul("long").alias("rn"),
+            F.col("priciest_event").alias("id_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-family folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_scalar_math",
+    f"""
+    SELECT 'doc' AS part, doc_id AS id, head,
+           CAST(text_len AS BIGINT) AS text_len, fp, tag, first_word,
+           CAST(NULL AS DOUBLE) AS direction,
+           CAST(NULL AS DOUBLE) AS magnitude, CAST(NULL AS VARCHAR) AS b64
+    FROM ({ORACLES["c_scalar_functions"]})
+    UNION ALL
+    SELECT 'event', event_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), direction, magnitude, b64
+    FROM ({ORACLES["c7_math_functions"]})
+    """,
+)
+def c_scalar_math(spark, sf_dir):
+    """SURVEY C6/C9/C11-path (string/format scalar kernels) + C7/C10
+    (math + base64) folded. Components: relational.c_scalar_functions,
+    relational3.c7_math_functions."""
+    doc = relational.c_scalar_functions(spark, sf_dir)
+    ev = relational3.c7_math_functions(spark, sf_dir)
+    return doc.select(
+        F.lit("doc").alias("part"),
+        F.col("doc_id").alias("id"),
+        "head",
+        F.col("text_len").cast("long").alias("text_len"),
+        "fp",
+        "tag",
+        "first_word",
+        _nul("double").alias("direction"),
+        _nul("double").alias("magnitude"),
+        _nul("string").alias("b64"),
+    ).unionByName(
+        ev.select(
+            F.lit("event").alias("part"),
+            F.col("event_id").alias("id"),
+            _nul("string").alias("head"),
+            _nul("long").alias("text_len"),
+            _nul("string").alias("fp"),
+            _nul("string").alias("tag"),
+            _nul("string").alias("first_word"),
+            "direction",
+            "magnitude",
+            "b64",
+        )
+    )
+
+
+@query(
+    "c_json_roundtrip",
+    f"""
+    SELECT 'extract' AS part, event_id AS id, k,
+           CAST(NULL AS VARCHAR) AS doc_json
+    FROM ({ORACLES["c11_json_extract"]})
+    UNION ALL
+    SELECT 'serialize', doc_id, CAST(NULL AS BIGINT), doc_json
+    FROM ({ORACLES["c12_json_serialize"]})
+    """,
+)
+def c_json_roundtrip(spark, sf_dir):
+    """SURVEY C11 (json property access) + C12 (struct->json serialize)
+    folded. Components: relational2.c11, relational3.c12."""
+    ext = relational2.c11_json_extract(spark, sf_dir)
+    ser = relational3.c12_json_serialize(spark, sf_dir)
+    return ext.select(
+        F.lit("extract").alias("part"),
+        F.col("event_id").alias("id"),
+        "k",
+        _nul("string").alias("doc_json"),
+    ).unionByName(
+        ser.select(
+            F.lit("serialize").alias("part"),
+            F.col("doc_id").alias("id"),
+            _nul("long").alias("k"),
+            "doc_json",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family fold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_semi_anti_resume",
+    f"""
+    SELECT 'anti' AS part, c_custkey, c_name,
+           CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM ({ORACLES["j5_resume_anti_join"]})
+    UNION ALL
+    SELECT 'semi', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+    FROM ({ORACLES["j5_semi_join"]})
+    """,
+)
+def j5_semi_anti_resume(spark, sf_dir):
+    """SURVEY J5/U5 — left-anti (THE resume primitive: all EXCEPT done,
+    lineage.prune_done's shape) + left-semi (EXISTS) folded.
+    Components: relational.j5_resume_anti_join/j5_semi_join."""
+    anti = relational.j5_resume_anti_join(spark, sf_dir)
+    semi = relational.j5_semi_join(spark, sf_dir)
+    return anti.select(
+        F.lit("anti").alias("part"),
+        "c_custkey",
+        "c_name",
+        _nul("double").alias("c_acctbal"),
+    ).unionByName(
+        semi.select(
+            F.lit("semi").alias("part"),
+            "c_custkey",
+            _nul("string").alias("c_name"),
+            "c_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-family fold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u2_stratified_split",
+    f"""
+    SELECT 'split' AS part, split, n, chars,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang
+    FROM ({ORACLES["u2_deterministic_split"]})
+    UNION ALL
+    SELECT 'sample', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), doc_id, lang
+    FROM ({ORACLES["stratified_sample"]})
+    """,
+)
+def u2_stratified_split(spark, sf_dir):
+    """SURVEY U2 (deterministic train/val split) + the stratified-
+    sampling data-mixing primitive — both pure hash functions of
+    doc_id, folded. Components: relational2.u2_deterministic_split,
+    textops.stratified_sample."""
+    spl = relational2.u2_deterministic_split(spark, sf_dir)
+    smp = textops.stratified_sample(spark, sf_dir)
+    return spl.select(
+        F.lit("split").alias("part"),
+        "split",
+        "n",
+        "chars",
+        _nul("long").alias("doc_id"),
+        _nul("string").alias("lang"),
+    ).unionByName(
+        smp.select(
+            F.lit("sample").alias("part"),
+            _nul("string").alias("split"),
+            _nul("long").alias("n"),
+            _nul("long").alias("chars"),
+            "doc_id",
+            "lang",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup family folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_profile",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, text,
+             string_split(text, ' ') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           round(CAST(n_chars - (len(words) - 1) AS DOUBLE) / len(words), 4)
+             AS avg_word_len,
+           round(CAST(len(list_filter(words, x -> x IN ({textops._STOP_SQL})))
+                 AS DOUBLE) / len(words), 4) AS stopword_ratio,
+           lang AS tagged_lang,
+           CASE WHEN len(list_filter(words, x -> x IN ('der','die','und')))
+                   > len(list_filter(words, x -> x IN ({textops._STOP_SQL})))
+                THEN 'de'
+                WHEN len(list_filter(words, x -> x IN ({textops._STOP_SQL}))) > 0
+                THEN 'en'
+                ELSE 'und' END AS detected_lang
+    FROM w
+    """,
+)
+def text_profile(spark, sf_dir):
+    """Token counting + quality scoring + language-id heuristic fused
+    into ONE corpus scan (the shape a production profiler ships: every
+    per-doc text signal computed off a single split). Components'
+    semantics unchanged: ws/bpe-ish token counts, avg word length,
+    stopword ratio, marker-stopword lang-id (the SQL twin of
+    kernels/langid.py)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_en = F.size(F.filter(words, lambda x: x.isin(*textops._STOPWORDS)))
+    n_de = F.size(F.filter(words, lambda x: x.isin("der", "die", "und")))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.round(
+            (F.col("n_chars") - (n_words - 1)).cast("double") / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(n_en.cast("double") / n_words, 4).alias("stopword_ratio"),
+        F.col("lang").alias("tagged_lang"),
+        F.when(n_de > n_en, "de")
+        .when(n_en > 0, "en")
+        .otherwise("und")
+        .alias("detected_lang"),
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    sig_concat = ", ".join(f"sig{s}" for s in range(textops.N_MINHASH))
+    return f"""
+    SELECT 'sig' AS part, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           concat({sig_concat}) AS sig
+    FROM ({textops._minhash_sig_sql()})
+    UNION ALL
+    SELECT 'pair', doc_a, doc_b, CAST(NULL AS VARCHAR)
+    FROM ({textops._lsh_pairs_sql()})
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_lsh_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + LSH-banded candidate pairs as one entry:
+    the ``sig`` branch pins every per-doc signature value (portable
+    md5 permutations), the ``pair`` branch pins the banded equi-join
+    output. Components: textops.dedup_minhash_sig/dedup_lsh_pairs."""
+    sig = textops.dedup_minhash_sig(spark, sf_dir)
+    pairs = textops.dedup_lsh_pairs(spark, sf_dir)
+    sig_rows = sig.select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        _nul("long").alias("id_b"),
+        F.concat(
+            *[F.col(f"sig{s}") for s in range(textops.N_MINHASH)]
+        ).alias("sig"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        _nul("string").alias("sig"),
+    )
+    return sig_rows.unionByName(pair_rows)
+
+
+@query(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE {textops._CC_CTES},
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT 'component' AS part, doc_id, component,
+           CAST(NULL AS VARCHAR) AS source
+    FROM comp
+    UNION ALL
+    SELECT 'kept', d.doc_id, CAST(NULL AS BIGINT), d.source
+    FROM documents d LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Near-dup connected components + the canonical-corpus payoff as
+    one entry: the ``component`` branch pins the iterative min-label CC
+    labels, the ``kept`` branch pins the broadcast-anti-join corpus
+    that survives canonicalization. CC runs ONCE and feeds both
+    branches. Components: textops.dedup_components/
+    dedup_canonical_docs."""
+    comp = textops.dedup_components(spark, sf_dir)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept = (
+        load(spark, sf_dir, "documents")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+    return comp.select(
+        F.lit("component").alias("part"),
+        "doc_id",
+        "component",
+        _nul("string").alias("source"),
+    ).unionByName(
+        kept.select(
+            F.lit("kept").alias("part"),
+            "doc_id",
+            _nul("long").alias("component"),
+            "source",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only folds (non-SQL-expressible plumbing)
+# ---------------------------------------------------------------------------
+
+
+@query("extract_stages")
+def extract_stages(spark, sf_dir):
+    """The tokenize-blocks and spans stage tables (FIXTURES.md §3)
+    under one entry: ``block`` rows carry (tag, depth, pos, text_len,
+    link_text_len), ``span`` rows carry (char_start, char_end) in the
+    (a, b) slots. Rows-only by contract (Python kernels have no SQL
+    twin); byte-identity is pinned by the golden suite."""
+    blocks = similarity.extract_blocks_long(spark, sf_dir)
+    spans = similarity.extract_spans_long(spark, sf_dir)
+    b = blocks.select(
+        F.lit("block").alias("part"),
+        "url",
+        F.col("block_id").cast("long").alias("unit_id"),
+        "tag",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("text_len").cast("long").alias("a"),
+        F.col("link_text_len").cast("long").alias("b"),
+    )
+    s = spans.select(
+        F.lit("span").alias("part"),
+        "url",
+        F.col("span_id").cast("long").alias("unit_id"),
+        _nul("string").alias("tag"),
+        _nul("long").alias("depth"),
+        _nul("long").alias("pos"),
+        F.col("char_start").cast("long").alias("a"),
+        F.col("char_end").cast("long").alias("b"),
+    )
+    return b.unionByName(s)
+
+
+@query("media_pipeline")
+def media_pipeline(spark, sf_dir):
+    """The four multimodal plumbing stages (metadata sniff, feature
+    extract, resize, frame sample) under one rows-only entry; each
+    branch keeps its media_id/status and packs dimensions into
+    (d1, d2, n_bytes). Decode itself stays behind the documented codec
+    stub; synthetic containers decode for real (test_multimodal.py)."""
+    meta = multimodal.media_metadata_q(spark, sf_dir)
+    feat = multimodal.media_features_q(spark, sf_dir)
+    rez = multimodal.media_resize_q(spark, sf_dir)
+    frm = multimodal.media_frame_sample_q(spark, sf_dir)
+    return (
+        meta.select(
+            F.lit("meta").alias("part"),
+            "media_id",
+            "kind",
+            "status",
+            F.col("width").cast("long").alias("d1"),
+            F.col("height").cast("long").alias("d2"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .unionByName(
+            feat.select(
+                F.lit("feat").alias("part"),
+                "media_id",
+                "kind",
+                "status",
+                F.col("dim").cast("long").alias("d1"),
+                _nul("long").alias("d2"),
+                _nul("long").alias("n_bytes"),
+            )
+        )
+        .unionByName(
+            rez.select(
+                F.lit("resize").alias("part"),
+                "media_id",
+                _nul("string").alias("kind"),
+                "status",
+                F.col("width").cast("long").alias("d1"),
+                F.col("height").cast("long").alias("d2"),
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+            )
+        )
+        .unionByName(
+            frm.select(
+                F.lit("frame").alias("part"),
+                "media_id",
+                _nul("string").alias("kind"),
+                "status",
+                F.col("frame_id").cast("long").alias("d1"),
+                _nul("long").alias("d2"),
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+            )
+        )
+    )
