@@ -53,6 +53,10 @@ SAMPLE = [
     "o_sort_family",
     "c_json_roundtrip",
     "w_frames_running",
+    # internal-only (not driver-exported) but kept oracle-true here
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_order",
 ]
 
 

@@ -52,6 +52,24 @@ def test_extraction_dual_path_shuffles_only_mega_rows(spark):
     assert "Exchange" not in normal_branch
 
 
+def test_mega_branch_prunes_on_ingest_metadata(spark, tmp_path):
+    """When the stored table carries the n_bytes ingest-metadata column
+    (sources.with_ingest_metadata), BOTH branch predicates must reach
+    the parquet scan as pushed filters on that plain long column —
+    the mega side's second scan then prunes by row-group statistics
+    instead of re-reading every payload (VERDICT r1 item 5)."""
+    from win64_local_ocr_tool_spark.sources import with_ingest_metadata
+
+    path = str(tmp_path / "docs")
+    with_ingest_metadata(corpus_df(spark, 60)).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = _plan(extract_all(docs, mega_bytes=65536))
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(scans) == 2, plan
+    assert any("LessThan(n_bytes,65536)" in s for s in scans), scans
+    assert any("GreaterThanOrEqual(n_bytes,65536)" in s for s in scans), scans
+
+
 def test_resume_anti_join_is_broadcast(spark, tmp_path, sf_dir):
     import pandas as pd
     from win64_local_ocr_tool_spark.lineage import append_lineage, prune_done, with_partition_key

@@ -28,7 +28,14 @@ _DEVA = re.compile(r"[ऀ-ॿ]")
 # for marker matching: 'है' is HA + vowel sign E). Each alternative
 # consumes a RUN (+ inside the group): the maximal matches are
 # identical, but char-at-a-time alternation is measurably slower.
-_TOKEN = re.compile(r"(?:[^\W\d_]+|[ऀ-ॿ]+)+", re.UNICODE)
+# Inner quantifiers are POSSESSIVE (++): the alternatives OVERLAP
+# (Devanagari letters are Unicode letters, so they match both
+# branches), which makes the plain form the (A+)* catastrophic-
+# backtracking shape — safe today only because nothing follows the
+# outer +, but one future suffix away from exponential. Possessive
+# runs never give back, so the pattern stays linear under any
+# composition (same fix as htmlscan.py).
+_TOKEN = re.compile(r"(?:[^\W\d_]++|[ऀ-ॿ]++)+", re.UNICODE)
 
 COUNT_FIELDS = ("n_en", "n_de", "n_hi", "n_sa", "n_deva", "n_tokens")
 

@@ -323,21 +323,35 @@ def extract_all(
     and the whole job is scan -> mapInPandas -> sink: nothing scales
     sub-linearly with executor count.
 
-    ``mega_bytes=N``: documents with ``length(html) >= N`` route through
+    ``mega_bytes=N``: documents with payload size ``>= N`` route through
     the distributed chunk path (``extract_mega``) so ONE document fans
     out across the cluster. This is for corpora carrying multi-MB
-    documents where a single payload would dominate a task. Cost at
-    scan level: the branch predicate (length of a column value) cannot
-    be pushed into parquet row-group pruning, so the mega branch
-    re-scans the table — on a production Iceberg table you avoid this
-    by recording ``n_bytes`` as a metadata column at ingest and
-    partition-pruning on it; with the fixed 5-column input schema the
-    honest price is one extra scan, which is why the distributed path
-    is opt-in rather than default.
+    documents where a single payload would dominate a task.
+
+    Branch predicate, in preference order:
+
+    - If ``docs`` carries the ``n_bytes`` ingest-metadata column
+      (``sources.with_ingest_metadata`` records it at ingest write;
+      the binaryFile source provides it for free), both branches
+      filter on that PLAIN LONG column — Catalyst pushes
+      ``n_bytes < N`` / ``n_bytes >= N`` into the parquet scan
+      (PushedFilters + row-group statistics pruning), so the mega
+      branch's second scan touches only row groups that can contain a
+      mega row: effectively free on a corpus where mega pages are 1 in
+      10^3 (gated in tests/test_plans.py).
+    - Otherwise the predicate is ``length(html)``, which no format can
+      push below the scan — the honest price is one extra full scan,
+      which is why the distributed path is opt-in rather than default.
     """
     if mega_bytes is None:
         return extract_normal(docs)
-    is_mega = F.length(F.col("html")) >= F.lit(mega_bytes)
-    normal = extract_normal(docs.filter(~is_mega))
-    mega = extract_mega(docs.filter(is_mega), chunk_blocks=chunk_blocks)
+    size = (
+        F.col("n_bytes")
+        if "n_bytes" in docs.columns
+        else F.length(F.col("html"))
+    )
+    normal = extract_normal(docs.filter(size < F.lit(mega_bytes)))
+    mega = extract_mega(
+        docs.filter(size >= F.lit(mega_bytes)), chunk_blocks=chunk_blocks
+    )
     return normal.unionByName(mega)

@@ -714,29 +714,30 @@ def c_scalar_functions(spark, sf_dir):
 def _exact_revenue():
     """sum(extendedprice * (1 - discount)) in EXACT integer arithmetic,
     emitted as integer CENTS: cents x (100 - discount-percent) summed as
-    longs, then half-up divided by 100 via (sum + 50) integer floor-div.
-    A float product of two 2-decimal factors is an exact 4-decimal value
-    that can land on a half-cent, where round(, 2) ties break
-    differently per engine (Spark rounds the shortest decimal repr,
-    DuckDB the binary value — observed 150873.96 vs .95). Integer state
-    has no ties — the w5_confidence_product rule (CLAUDE.md: no float
-    columns in compared output)."""
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    dpct = F.round(F.col("l_discount") * 100, 0).cast("long")
-    return (
-        F.floor((F.sum(cents * (100 - dpct)) + 50) / 100)
-        .cast("long")
-        .alias("revenue_cents")
-    )
+    longs, then half-up divided by 100 with TRUE integer division
+    (Spark ``div``, DuckDB ``//``) — floor(double/100) would silently
+    lose exactness once a group's cents-weighted sum exceeds 2^53,
+    plausible at 10^12-doc scale. A float product of two 2-decimal
+    factors is an exact 4-decimal value that can land on a half-cent,
+    where round(, 2) ties break differently per engine (Spark rounds
+    the shortest decimal repr, DuckDB the binary value — observed
+    150873.96 vs .95). Integer state has no ties — the
+    w5_confidence_product rule (CLAUDE.md: no float columns in
+    compared output)."""
+    return F.expr(
+        "CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50)"
+        " div 100 AS BIGINT)"
+    ).alias("revenue_cents")
 
 
 @query(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                 + 50) / 100) AS BIGINT) AS revenue_cents,
+           CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) AS revenue_cents,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -771,9 +772,9 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                 + 50) / 100) AS BIGINT) AS revenue_cents
+           CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                 + 50) // 100 AS BIGINT) AS revenue_cents
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey

@@ -216,15 +216,31 @@ def j4_knn_self_join(spark, sf_dir):
     SURVEY J4 + W6 — the rn <= k window filter IS the top-k-per-point
     operator). Bounded here; at scale the same shape runs per-bucket
     after an LSH/IVF partitioning (see sim_ann_ivf)."""
-    from .similarity import _cos_expr
+    from .similarity import _dot_expr, _norm_expr
 
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .withColumn("nrm", _norm_expr(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     scored = a.join(b, F.col("src") != F.col("dst")).select(
         "src",
         "dst",
-        F.round(_cos_expr(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        F.round(
+            _dot_expr(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
     return (

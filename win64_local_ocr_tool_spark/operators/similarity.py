@@ -32,27 +32,31 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-def _cos_expr(a, b):
-    dot = F.aggregate(
+def _dot_expr(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
+
+
+def _norm_expr(a):
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cos_expr(a, b):
+    """Full cosine for one-off pairs. Join-shaped callers must NOT use
+    this: it recomputes both norms per (query, candidate) pair — they
+    project a ``nrm`` column on each side BEFORE the join and divide by
+    the product (identical IEEE math, computed once per row instead of
+    once per pair)."""
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 @query(
@@ -79,16 +83,27 @@ def _cos_expr(a, b):
 def sim_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the (small) query set against
     the corpus — at scale the corpus side streams, no shuffle until the
-    per-query top-k (a k-row-per-group window)."""
-    e = load(spark, sf_dir, "embeddings")
+    per-query top-k (a k-row-per-group window). Norms are projected
+    ONCE per row on each side before the join; only the dot product is
+    per-pair (same IEEE value as the full per-pair form: identical ops,
+    identical order)."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm_expr(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     joined = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
     scored = joined.select(
         "qid",
         "vec_id",
-        F.round(_cos_expr(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        F.round(
+            _dot_expr(F.col("qv"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return (
@@ -195,14 +210,19 @@ def sim_ann_ivf(spark, sf_dir):
 
     probes = q.mapInPandas(
         probe_cells, schema="qid long, qv array<float>, cell int"
-    )
-    cand = F.broadcast(probes).join(assigned, "cell").filter(
+    ).withColumn("qn", _norm_expr(F.col("qv")))
+    scored_side = assigned.withColumn("nrm", _norm_expr(F.col("embedding")))
+    cand = F.broadcast(probes).join(scored_side, "cell").filter(
         F.col("vec_id") != F.col("qid")
     )
     scored = cand.select(
         "qid",
         "vec_id",
-        F.round(_cos_expr(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        F.round(
+            _dot_expr(F.col("qv"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return (

@@ -399,20 +399,34 @@ def doc_fingerprint_winnow(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (bounded id range keeps the
     sandbox check cheap; the scale path replaces the theta self-join
-    with the IVF cell join in operators/similarity.py)."""
-    from .similarity import _cos_expr
+    with the IVF cell join in operators/similarity.py). Norms are
+    projected once per side before the join — only the dot product is
+    per-pair."""
+    from .similarity import _dot_expr, _norm_expr
 
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos6 = F.round(_cos_expr(F.col("ea"), F.col("eb")), 6)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .withColumn("nrm", _norm_expr(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos6 >= 0.25)
+        .filter(F.round(cos, 6) >= 0.25)
         .select(
             "vec_a",
             "vec_b",
-            F.round(_cos_expr(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
     )
 
@@ -733,19 +747,26 @@ def decontaminate_ngram(spark, sf_dir):
     Scale shape: eval suites are tiny next to a training corpus, so the
     benchmark gram set is BROADCAST and the corpus side streams through
     a broadcast hash join — no corpus-side shuffle until the final
-    per-doc count, which AQE coalesces. Emits (doc_id, n_hits) for
+    per-doc count, which AQE coalesces. Both sides join on md5(gram),
+    not the raw 13-word string: a fixed 32-char key shrinks the
+    broadcast table and every probe-side comparison ~3-6x (md5
+    collisions are vanishing at any real eval-suite size, and the
+    DuckDB oracle keeps raw-string equality, so a collision would
+    surface as a driver mismatch). Emits (doc_id, n_hits) for
     contaminated docs only; the drop step is a broadcast anti-join of
     this result, same as dedup_canonical_docs."""
     d = load(spark, sf_dir, "documents")
-    grams = _word_ngrams(d, DECON_W, "g")
+    grams = _word_ngrams(d, DECON_W, "g").select(
+        "doc_id", F.md5("g").alias("h")
+    )
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select("g")
+        .select("h")
         .distinct()
     )
     return (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench), "g")
+        .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

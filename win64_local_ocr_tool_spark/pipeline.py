@@ -77,9 +77,15 @@ def run_extraction(
         if done_before:
             docs = docs.filter(~F.col("partition_key").isin(*done_before))
 
+    # keep the ingest-metadata column when the source recorded it — the
+    # mega/normal split then prunes on it at scan level (extract_all)
+    base_cols = ["partition_key", "url", "html"] + (
+        ["n_bytes"] if "n_bytes" in docs.columns else []
+    )
+
     def extract(subset):
         ext = extract_all(
-            subset.select("partition_key", "url", "html"),
+            subset.select(*base_cols),
             mega_bytes=mega_bytes,
             chunk_blocks=chunk_blocks,
         )

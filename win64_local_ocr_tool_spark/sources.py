@@ -35,6 +35,19 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
 
 
+def with_ingest_metadata(docs: DataFrame) -> DataFrame:
+    """Record scan-prunable metadata at INGEST WRITE time (idempotent if
+    already present). ``n_bytes`` is the payload size as a plain long
+    column: once it lives in the stored table, the mega/normal branch
+    split in ``extract_all`` becomes a pushed parquet filter with
+    row-group statistics pruning instead of a second full scan of the
+    binary column (the Iceberg-metadata pattern the reference's local
+    file sizes give it for free)."""
+    if "n_bytes" in docs.columns:
+        return docs
+    return docs.withColumn("n_bytes", F.length("html").cast("long"))
+
+
 def read_raw_pages(
     spark: SparkSession,
     directory: str,
@@ -61,6 +74,8 @@ def read_raw_pages(
         F.col("content").alias("html"),
         F.lit("").alias("text"),
         F.lit(lang).alias("lang"),
+        # the source's file size IS the ingest metadata column — free
+        F.col("length").cast("long").alias("n_bytes"),
     )
 
 
