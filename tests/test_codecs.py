@@ -1,0 +1,156 @@
+"""Stdlib PNG/WAV codec kernels: round-trips, every scanline filter,
+and the Spark operators running on REAL container payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from win64_local_ocr_tool_spark.kernels.pngcodec import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+    parse_png_header,
+)
+from win64_local_ocr_tool_spark.kernels.wavcodec import (
+    decode_wav,
+    encode_wav,
+    parse_wav_header,
+)
+
+
+def _rand_img(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    img = _rand_img(13, 17, channels, seed=channels)
+    payload = encode_png(img)
+    assert payload[:8] == PNG_MAGIC
+    assert parse_png_header(payload) == (17, 13, channels)
+    out = decode_png(payload)
+    assert out.shape == (13, 17, channels)
+    assert (out == img).all()
+
+
+def _png_with_filters(img, ftypes):
+    """Encode img applying a chosen filter type per scanline — exercises
+    the decoder's unfilter paths independently of our encoder (which
+    always emits filter 0)."""
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        line = flat[y]
+        prior = flat[y - 1] if y else np.zeros(stride, np.int32)
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prior[x]
+            cc = prior[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (line[x] - pred) & 255
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_decoder_handles_every_filter_type(channels):
+    img = _rand_img(10, 9, channels, seed=7 + channels)
+    payload = _png_with_filters(img, ftypes=[0, 1, 2, 3, 4])
+    out = decode_png(payload)
+    assert (out == img).all()
+
+
+def test_png_rejects_unsupported_variants():
+    img = _rand_img(4, 4, 3, seed=1)
+    good = encode_png(img)
+    # flip bit depth to 16 inside IHDR -> must raise, not mis-decode
+    bad = bytearray(good)
+    bad[24] = 16
+    with pytest.raises(ValueError):
+        parse_png_header(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_png_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_wav_roundtrip():
+    rate = 16000
+    samples = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype("<i2")
+    payload = encode_wav(rate, samples)
+    assert parse_wav_header(payload) == (rate, 1000, 1, 2)
+    got_rate, got = decode_wav(payload)
+    assert got_rate == rate
+    assert (got[:, 0] == samples).all()
+
+
+def test_media_metadata_on_real_png_and_wav(spark):
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_metadata,
+        render_png,
+        render_wav,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, render_png(40, 30, 3, seed=5)),
+            (2, render_wav(16000, 800, seed=5)),
+        ],
+        schema="media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    png = meta[1]
+    assert (png["container"], png["status"], png["kind"]) == ("png", "ok", "image")
+    assert (png["width"], png["height"], png["n_channels"]) == (40, 30, 3)
+    wav = meta[2]
+    assert (wav["container"], wav["status"], wav["kind"]) == ("wav", "ok", "audio")
+    assert wav["sample_rate"] == 16000
+
+
+def test_media_resize_on_real_png(spark):
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_resize,
+        render_png,
+    )
+
+    src = render_png(40, 30, 3, seed=9)
+    df = spark.createDataFrame(
+        [(1, src)], schema="media_id long, payload binary"
+    )
+    row = media_resize(df, 16, 12).collect()[0]
+    assert row["status"] == "ok"
+    out = decode_png(bytes(row["payload"]))
+    img = decode_png(src)
+    ys = (np.arange(12) * 30) // 12
+    xs = (np.arange(16) * 40) // 16
+    assert (out == img[ys][:, xs]).all()

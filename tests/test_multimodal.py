@@ -40,15 +40,21 @@ def test_media_metadata(spark):
 
 
 def test_media_metadata_no_codec_status(spark):
-    """Real-container payloads (PNG) surface status=no_codec — the
-    stub boundary is explicit, not a silent wrong answer."""
+    """Containers without a decoder (JPEG) surface status=no_codec —
+    the stub boundary is explicit, not a silent wrong answer; a
+    malformed PNG is an error row, never a task failure."""
     df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)],
+        [
+            (1, b"\xff\xd8\xff" + b"\x00" * 64),           # jpeg: stubbed
+            (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),      # malformed png
+        ],
         schema="media_id long, payload binary",
     )
-    row = media_metadata(df).collect()[0]
-    assert row["container"] == "png"
-    assert row["status"] == "no_codec"
+    rows = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert rows[1]["container"] == "jpeg"
+    assert rows[1]["status"] == "no_codec"
+    assert rows[2]["container"] == "png"
+    assert rows[2]["status"] == "error"
 
 
 def test_media_features_deterministic_across_partitioning(spark):
@@ -80,13 +86,23 @@ def test_media_resize_dims_and_determinism(spark):
         _parse_simg_header,
     )
 
+    from win64_local_ocr_tool_spark.kernels.pngcodec import decode_png
+
     out = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()
     ok = out[out["status"] == "ok"]
     assert len(ok) > 0
+    containers = set()
     for p in ok["payload"]:
-        assert sniff_container(bytes(p)) == "simg"
-        w, h, _c = _parse_simg_header(bytes(p))
+        cont = sniff_container(bytes(p))
+        containers.add(cont)
+        if cont == "simg":
+            w, h, _c = _parse_simg_header(bytes(p))
+        else:
+            img = decode_png(bytes(p))
+            h, w = img.shape[:2]
         assert (w, h) == (32, 24)
+    # the fixture mixes real PNG rows in — both emit paths must appear
+    assert containers == {"simg", "png"}
     # audio + garbage rows -> error, never crash
     assert set(out["status"]) <= {"ok", "error", "no_codec"}
     again = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()

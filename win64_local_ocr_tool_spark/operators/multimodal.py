@@ -2,12 +2,15 @@
 
 The reference's core loop IS a multimodal pipeline (image in -> text
 out); this module generalizes the plumbing to image/audio/video columns
-for a training-data pipeline, per the task brief: the decode step is
-STUBBED (no codec libraries in this container — a real deployment
-swaps ``_decode_image``/``_decode_audio`` for PIL/ffmpeg calls), while
-everything Spark-side is real and tested: schemas, metadata sniffing,
-Arrow batch shapes, partitioning, and the iterator-UDF init pattern
-(one-time heavy init per executor, reference ``segment_graph.py:73-76``).
+for a training-data pipeline, per the task brief. PNG and PCM WAV
+decode FOR REAL via stdlib-only codecs (``kernels/pngcodec.py`` zlib
+baseline profile, ``kernels/wavcodec.py`` via ``wave``); JPEG is the
+one remaining documented stub (no entropy-decoder library in this
+container — a real deployment swaps the ``_decode_image`` /
+``_decode_audio`` internals for PIL/ffmpeg). Everything Spark-side is
+real and tested: schemas, metadata sniffing, Arrow batch shapes,
+partitioning, and the iterator-UDF init pattern (one-time heavy init
+per executor, reference ``segment_graph.py:73-76``).
 
 Payload containers are sniffed from magic bytes (PNG/JPEG/WAV here,
 plus the reference-style fake used by the synthetic corpus), never from
@@ -65,6 +68,28 @@ def render_simg(width: int, height: int, channels: int, seed: int) -> bytes:
     return head + body
 
 
+def render_png(width: int, height: int, channels: int, seed: int) -> bytes:
+    """REAL deterministic PNG fixture (encoded by kernels/pngcodec)."""
+    import numpy as np
+
+    from ..kernels.pngcodec import encode_png
+
+    idx = np.arange(width * height * channels, dtype=np.uint64)
+    img = ((idx * 2654435761 + seed * 40503) % 256).astype(np.uint8)
+    return encode_png(img.reshape(height, width, channels))
+
+
+def render_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """REAL deterministic PCM WAV fixture (encoded by kernels/wavcodec)."""
+    import numpy as np
+
+    from ..kernels.wavcodec import encode_wav
+
+    t = np.arange(n_samples, dtype=np.int64)
+    samples = ((t * (seed % 97 + 3)) % 2000 - 1000).astype("<i2")
+    return encode_wav(sample_rate, samples)
+
+
 def render_saud(sample_rate: int, n_samples: int, seed: int) -> bytes:
     head = b"%SAUD" + struct.pack("<II", sample_rate, n_samples)
     body = bytes((seed * 69069 + i * 12345) % 256 for i in range(min(n_samples, 4096)))
@@ -112,18 +137,56 @@ def _parse_saud_header(payload: bytes):
 
 
 def _decode_image(payload: bytes, container: str):
-    """STUB: a real deployment decodes to HxWxC uint8 here (PIL/opencv).
-    The synthetic container decodes for real; PNG/JPEG raise."""
+    """(width, height, channels) — header-only, body untouched.
+
+    PNG decodes FOR REAL via the stdlib-zlib codec
+    (``kernels/pngcodec.py``; reference image loads
+    ``segmentation/utils.py:7-14``); the synthetic container parses its
+    fixture header. JPEG is the one remaining stub (baseline-JPEG
+    entropy decode needs a real codec library — swap in PIL/opencv)."""
     if container == "simg":
         return _parse_simg_header(payload)
+    if container == "png":
+        from ..kernels.pngcodec import parse_png_header
+
+        return parse_png_header(payload)
+    raise NotImplementedError(
+        f"no {container} codec in this environment; swap in PIL/opencv"
+    )
+
+
+def _decode_image_pixels(payload: bytes, container: str):
+    """Full pixel decode -> HxWxC uint8 numpy array (PNG + synthetic;
+    JPEG raises NotImplementedError and surfaces as status='no_codec')."""
+    import numpy as np
+
+    if container == "png":
+        from ..kernels.pngcodec import decode_png
+
+        return decode_png(payload)
+    if container == "simg":
+        w, h, c = _parse_simg_header(payload)
+        stored = np.frombuffer(payload[14:], dtype=np.uint8)
+        plane = np.zeros(w * h * c, dtype=np.uint8)
+        n = min(len(stored), len(plane))
+        plane[:n] = stored[:n]
+        return plane.reshape(h, w, c)
     raise NotImplementedError(
         f"no {container} codec in this environment; swap in PIL/opencv"
     )
 
 
 def _decode_audio(payload: bytes, container: str):
+    """(sample_rate, n_frames). PCM WAV decodes for real via the stdlib
+    ``wave`` module (``kernels/wavcodec.py``); compressed codecs raise
+    (swap in soundfile/ffmpeg)."""
     if container == "saud":
         return _parse_saud_header(payload)
+    if container == "wav":
+        from ..kernels.wavcodec import parse_wav_header
+
+        rate, n_frames, _ch, _w = parse_wav_header(payload)
+        return rate, n_frames
     raise NotImplementedError(
         f"no {container} codec in this environment; swap in soundfile/ffmpeg"
     )
@@ -237,12 +300,12 @@ def media_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
 def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """(media_id, payload) -> nearest-neighbor resized image payload.
 
-    The resize kernel is a real numpy coordinate remap (stand-in for
-    PIL/opencv — swap `_decode_image`'s stub for real codecs and this
-    operator is production); PNG/JPEG without a codec yield
-    status='no_codec' rows, not failures. Narrow map, zero shuffle; the
-    Arrow batch bound keeps multi-MB payload batches inside worker
-    memory (SURVEY P8)."""
+    The resize kernel is a real numpy coordinate remap over REAL pixel
+    decode: PNG via the stdlib-zlib codec (emits PNG back), the
+    synthetic container via its fixture parser (emits %SIMG back).
+    JPEG (the remaining codec stub) yields status='no_codec' rows, not
+    failures. Narrow map, zero shuffle; the Arrow batch bound keeps
+    multi-MB payload batches inside worker memory (SURVEY P8)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -256,9 +319,9 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     "media_id": int(mid), "width": target_w,
                     "height": target_h, "payload": None, "status": "ok",
                 }
-                if container != "simg":
+                if container not in ("simg", "png"):
                     row["status"] = (
-                        "no_codec" if container in ("png", "jpeg") else "error"
+                        "no_codec" if container == "jpeg" else "error"
                     )
                     rows.append(row)
                     continue
@@ -266,20 +329,21 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     # malformed magic-bearing payloads (truncated header,
                     # dims inconsistent with body) must yield error rows,
                     # never task failures (row-level failure isolation)
-                    w, h, c = _parse_simg_header(payload)
-                    seed = struct.unpack_from("<I", payload, 10)[0]
-                    stored = np.frombuffer(payload[14:], dtype=np.uint8)
-                    plane = np.zeros(w * h * c, dtype=np.uint8)
-                    n = min(len(stored), len(plane))
-                    plane[:n] = stored[:n]
-                    img = plane.reshape(h, w, c)
+                    img = _decode_image_pixels(payload, container)
+                    h, w, c = img.shape
                     ys = (np.arange(target_h) * h) // target_h
                     xs = (np.arange(target_w) * w) // target_w
                     out = img[ys][:, xs]  # nearest-neighbor remap
-                    head = b"%SIMG" + struct.pack(
-                        "<HHBI", target_w, target_h, c, seed
-                    )
-                    row["payload"] = head + out.tobytes()[:4096]
+                    if container == "png":
+                        from ..kernels.pngcodec import encode_png
+
+                        row["payload"] = encode_png(out)
+                    else:
+                        seed = struct.unpack_from("<I", payload, 10)[0]
+                        head = b"%SIMG" + struct.pack(
+                            "<HHBI", target_w, target_h, c, seed
+                        )
+                        row["payload"] = head + out.tobytes()[:4096]
                 except Exception:
                     row["status"] = "error"
                 rows.append(row)
@@ -409,7 +473,18 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 7 == 3:
+                if i % 13 == 6:
+                    # real PNG rows: the stdlib codec path end-to-end
+                    payload = render_png(
+                        64 + (i % 8) * 4, 24 + (i % 5) * 4,
+                        3 if i % 2 else 1, seed + i,
+                    )
+                elif i % 17 == 8:
+                    # real PCM WAV rows
+                    payload = render_wav(
+                        8000 + (i % 3) * 8000, 500 + i, seed + i
+                    )
+                elif i % 7 == 3:
                     payload = render_saud(8000 + (i % 4) * 8000, 1000 + i, seed + i)
                 elif i % 11 == 5:
                     payload = b"\x00garbage" + bytes([i % 256] * 16)
