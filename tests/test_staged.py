@@ -122,3 +122,60 @@ def test_overrides_replace_classifier_flags(spark):
             for r in assemble_from_blocks(blocks, ov2).collect()
         }
         assert all_text[keep_id] in out2[target]["extracted_text"]
+
+
+def test_merge_by_key_replaces_only_present_partitions(spark, tmp_path):
+    """The parquet fallback of the Iceberg upsert seam: a merge carrying
+    keys {1} must replace key 1's rows and leave key 0 untouched."""
+    from win64_local_ocr_tool_spark.staged import merge_by_key
+
+    target = str(tmp_path / "stage")
+    base = spark.createDataFrame(
+        [(0, "a0"), (0, "a1"), (1, "b0")],
+        schema="partition_key int, v string",
+    )
+    merge_by_key(base, target)
+    upd = spark.createDataFrame(
+        [(1, "B0"), (1, "B1")], schema="partition_key int, v string"
+    )
+    merge_by_key(upd, target)
+    got = sorted(
+        (r["partition_key"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == [(0, "a0"), (0, "a1"), (1, "B0"), (1, "B1")]
+
+
+def test_merge_by_key_rerun_is_idempotent(spark, tmp_path):
+    from win64_local_ocr_tool_spark.staged import merge_by_key
+
+    target = str(tmp_path / "stage")
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "y")], schema="partition_key int, v string"
+    )
+    merge_by_key(df, target)
+    merge_by_key(df, target)  # re-run: same rows, no duplicates
+    got = sorted(
+        (r["partition_key"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert got == [(0, "x"), (1, "y")]
+
+
+def test_iceberg_capability_check(spark):
+    """Paths and unconfigured identifiers take the parquet fallback;
+    only a configured Iceberg catalog identifier selects the Iceberg
+    write path."""
+    from win64_local_ocr_tool_spark.staged import iceberg_catalog_for
+
+    assert iceberg_catalog_for(spark, "/tmp/some/dir") is None
+    assert iceberg_catalog_for(spark, "file:/tmp/x") is None
+    assert iceberg_catalog_for(spark, "nocat.db.tbl") is None
+    spark.conf.set(
+        "spark.sql.catalog.lake",
+        "org.apache.iceberg.spark.SparkCatalog",
+    )
+    try:
+        assert iceberg_catalog_for(spark, "lake.db.docs") == "lake"
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")

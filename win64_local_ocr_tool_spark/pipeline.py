@@ -111,12 +111,12 @@ def run_extraction(
             else docs.filter(F.col("partition_key").isin(*keys))
         )
         t0 = time.monotonic()
-        (
-            extract(subset)
-            .write.mode("overwrite")
-            .partitionBy("partition_key")
-            .parquet(out_dir)
-        )
+        # single upsert seam shared with the staged pipeline: Iceberg
+        # overwritePartitions when a catalog is configured, dynamic
+        # parquet partition-overwrite otherwise (staged.merge_by_key)
+        from .staged import merge_by_key
+
+        merge_by_key(extract(subset), out_dir)
         wall_ms = int((time.monotonic() - t0) * 1000)
         wall_total += wall_ms
 
