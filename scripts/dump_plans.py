@@ -34,14 +34,20 @@ def fmt(df, max_lines=40) -> str:
 
 
 def main() -> None:
-    import __spark_entry__ as entry
+    import __spark_entry__ as entry  # noqa: F401 — registers the registry
     from win64_local_ocr_tool_spark.corpus import corpus_df
     from win64_local_ocr_tool_spark.operators.extract import extract_all, extract_normal
+    from win64_local_ocr_tool_spark.operators.registry import QUERIES as q
     from win64_local_ocr_tool_spark.session import get_spark
+    from win64_local_ocr_tool_spark.sources import with_ingest_metadata
 
     spark = get_spark("plans", master="local[4]")
-    q = entry.queries()
     docs = corpus_df(spark, 100)
+    import tempfile
+
+    nb_dir = tempfile.mkdtemp(prefix="plans_nbytes_") + "/docs"
+    with_ingest_metadata(docs).write.parquet(nb_dir)
+    docs_nb = spark.read.parquet(nb_dir)
 
     sections = [
         (
@@ -58,6 +64,14 @@ def main() -> None:
             "mega rows (length >= threshold) reach the chunk shuffle. The "
             "Exchange nodes sit strictly under the mega side.",
             extract_all(docs, mega_bytes=65536),
+        ),
+        (
+            "Dual-path extraction over a stored table with n_bytes metadata",
+            "Both branch predicates push into the parquet scan as "
+            "PushedFilters on the recorded n_bytes long column — the mega "
+            "side's second scan prunes by row-group statistics instead of "
+            "re-reading every payload.",
+            extract_all(docs_nb, mega_bytes=65536),
         ),
         (
             "f1_threshold_filter — pushdown + pruning",
