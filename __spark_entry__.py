@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Importing the operator modules populates the internal registry
 # (families last: its folds compose the component oracle fragments).
 from win64_local_ocr_tool_spark.operators import (  # noqa: F401,E402
+    ctc,
     multimodal,
     relational,
     relational2,
@@ -104,6 +105,7 @@ EXPORTED = [
     "media_pipeline",
     "o6_mst_kruskal",
     "u4_dbscan_closure",
+    "ctc_beam_decode",
 ]
 
 _missing = [n for n in EXPORTED if n not in QUERIES]

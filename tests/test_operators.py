@@ -94,6 +94,7 @@ def test_every_query_has_oracle_or_is_documented():
         "extract_stages",
         "media_pipeline",
         "a10_approx_distinct",  # HLL sketches differ across engines
+        "ctc_beam_decode",  # sequential beam state: no ANSI-SQL twin
     }
     q = set(entry.queries())
     o = set(entry.oracle_sql())
