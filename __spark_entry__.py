@@ -94,6 +94,7 @@ EXPORTED = [
     "o8_global_topk",
     "u1_undirected_pair_dedup",
     "u3_union_concat",
+    "u4_dbscan_closure",
     "c_scalar_math",
     "c_json_roundtrip",
     "c2_collapse_runs",
@@ -104,7 +105,6 @@ EXPORTED = [
     "extract_stages",
     "media_pipeline",
     "o6_mst_kruskal",
-    "u4_dbscan_closure",
     "ctc_beam_decode",
 ]
 

@@ -8,6 +8,11 @@ multiset of canonicalized values. Strictly stricter than a value-hash:
 any mismatch prints the offending rows.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --all [sf_dir] [query ...]
+
+``--all`` sweeps the INTERNAL registry (every component query,
+including ones folded out of the driver export) instead of the
+exported set.
 """
 
 from __future__ import annotations
@@ -21,8 +26,11 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+ALL = "--all" in _args
+_args = [a for a in _args if a != "--all"]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -91,8 +99,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    if ALL:
+        from win64_local_ocr_tool_spark.operators.registry import (
+            ORACLES as oracles,
+            QUERIES as queries,
+        )
+    else:
+        queries = entry.queries()
+        oracles = entry.oracle_sql()
     failed, passed, rows_only = [], [], []
     for name, fn in queries.items():
         if ONLY and name not in ONLY:

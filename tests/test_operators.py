@@ -88,7 +88,6 @@ def test_every_query_has_oracle_or_is_documented():
     those)."""
     rows_only_allowed = {
         "o6_mst_kruskal",
-        "u4_dbscan_closure",
         "sim_ann_ivf",
         "extract_e2e",
         "extract_stages",
@@ -112,7 +111,7 @@ def test_export_window_discipline():
     late_oracled = [n for n in names[50:] if n in oracled]
     assert not late_oracled, late_oracled
     # rows-only entries close the list
-    assert all(n not in oracled for n in names[47:])
+    assert all(n not in oracled for n in names[48:])
 
 
 def test_ann_recall_vs_brute_force(spark, sf_dir):

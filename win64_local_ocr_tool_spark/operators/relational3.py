@@ -349,7 +349,67 @@ def _dbscan_members(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("u4_dbscan_closure")
+_DBSCAN_SQL = """
+    WITH RECURSIVE pts AS (
+      SELECT label AS component, vec_id,
+             CAST(embedding[1] AS DOUBLE) * 10.0 AS x,
+             CAST(embedding[2] AS DOUBLE) * 10.0 AS y
+      FROM embeddings
+    ),
+    adj AS (  -- eps-adjacency incl. self (d2 = 0 <= eps^2)
+      SELECT a.component, a.vec_id AS i, b.vec_id AS j
+      FROM pts a JOIN pts b USING (component)
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16.0
+    ),
+    core AS (  -- self counts toward minPts, matching the kernel
+      SELECT component, i AS vec_id
+      FROM adj GROUP BY component, i HAVING count(*) >= 3
+    ),
+    cedge AS (  -- core-core adjacency (symmetric, incl. self-loops)
+      SELECT adj.component, adj.i, adj.j
+      FROM adj
+      JOIN core ca ON ca.component = adj.component AND ca.vec_id = adj.i
+      JOIN core cb ON cb.component = adj.component AND cb.vec_id = adj.j
+    ),
+    reach(component, a, b) AS (
+      SELECT component, i, j FROM cedge
+      UNION
+      SELECT r.component, r.a, e.j
+      FROM reach r JOIN cedge e
+        ON r.component = e.component AND r.b = e.i
+    ),
+    ccore AS (  -- core's cluster = min core id of its core-CC
+      SELECT component, a AS vec_id, min(b) AS clabel
+      FROM reach GROUP BY component, a
+    ),
+    assigned AS (
+      -- cores take their CC label; a border takes the LAST seeded
+      -- cluster that reaches it (the kernel's ascending-seed BFS
+      -- overwrites, so last = MAX CC label among adjacent cores)
+      SELECT p.component, p.vec_id,
+             coalesce(cc.clabel, bmax.clabel) AS cluster0
+      FROM pts p
+      LEFT JOIN ccore cc
+        ON cc.component = p.component AND cc.vec_id = p.vec_id
+      LEFT JOIN (
+        SELECT adj.component, adj.i AS vec_id, max(cx.clabel) AS clabel
+        FROM adj JOIN ccore cx
+          ON cx.component = adj.component AND cx.vec_id = adj.j
+        GROUP BY adj.component, adj.i
+      ) bmax ON bmax.component = p.component AND bmax.vec_id = p.vec_id
+    ),
+    remap AS (  -- canonical id = min member vec_id of the FINAL cluster
+      SELECT component, cluster0, min(vec_id) AS final_label
+      FROM assigned WHERE cluster0 IS NOT NULL
+      GROUP BY component, cluster0
+    )
+    SELECT a.component, a.vec_id,
+           coalesce(r.final_label, CAST(-1 AS BIGINT)) AS cluster
+    FROM assigned a LEFT JOIN remap r USING (component, cluster0)
+    """
+
+
+@query("u4_dbscan_closure", _DBSCAN_SQL)
 def u4_dbscan_closure(spark, sf_dir):
     """DBSCAN density-reachable closure per group (reference:
     neighbor-set union closure inside DBSCAN,
@@ -357,8 +417,16 @@ def u4_dbscan_closure(spark, sf_dir):
     downstream relational consumer of these labels). Document-local like
     every graph op here, so it is one applyInPandas group; cluster ids
     are canonicalized to the minimum member vec_id, making output
-    independent of partition count (pytest-gated). Rows-only driver
-    check (iterative closure is not ANSI-SQL)."""
+    independent of partition count (pytest-gated).
+
+    Round-2 upgrade: the closure IS oracle-able — the DuckDB twin
+    restates the BFS as eps-adjacency -> core set -> recursive
+    core-core transitive closure -> border attachment with the
+    kernel's exact last-writer-wins semantics (ascending-seed BFS
+    overwrite == max CC label among a border's adjacent cores) ->
+    min-member renumbering. Distance math is the identical IEEE
+    float64 expression on both engines, so the eps boundary set
+    matches exactly."""
     e = load(spark, sf_dir, "embeddings")
     return e.groupBy("label").applyInPandas(
         _dbscan_members, schema="component int, vec_id long, cluster long"
