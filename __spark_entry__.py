@@ -60,6 +60,7 @@ EXPORTED = [
     "training_data_filter",
     "decontaminate_ngram",
     "boilerplate_ngrams",
+    "boilerplate_scrub_chunks",
     "text_repetition_score",
     "u2_stratified_split",
     "training_corpus_final",

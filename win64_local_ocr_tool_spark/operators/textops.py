@@ -835,6 +835,117 @@ def text_repetition_score(spark, sf_dir):
     )
 
 
+SCRUB_W = 8  # words per position-aligned scrub unit
+SCRUB_MIN_DF = 2  # unit in >= this many docs is boilerplate
+
+
+@query(
+    "boilerplate_scrub_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    u AS (
+      SELECT doc_id, uu.pos, uu.unit FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(0,
+            CAST(ceil(len(words) / {SCRUB_W}.0) AS BIGINT) - 1),
+          i -> struct_pack(
+            pos := i,
+            unit := array_to_string(
+              words[i * {SCRUB_W} + 1 : i * {SCRUB_W} + {SCRUB_W}], ' ')
+          ))) AS uu
+        FROM w
+      )
+    ),
+    heavy AS (
+      SELECT md5(unit) AS h FROM u
+      GROUP BY md5(unit) HAVING count(DISTINCT doc_id) >= {SCRUB_MIN_DF}
+    ),
+    keptagg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(unit, ' ' ORDER BY pos) AS cleaned
+      FROM u WHERE md5(unit) NOT IN (SELECT h FROM heavy)
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.words) / {SCRUB_W}.0) AS BIGINT) AS n_units,
+           coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(k.cleaned, '') AS cleaned
+    FROM w LEFT JOIN keptagg k USING (doc_id)
+    """,
+)
+def boilerplate_scrub_chunks(spark, sf_dir):
+    """Cross-document boilerplate REMOVAL, CCNet line-dedup style: the
+    step beyond the census (``boilerplate_ngrams``) that actually
+    materializes cleaned documents. Unit = position-aligned
+    {SCRUB_W}-word chunk (the synthetic table carries no newlines; on a
+    real crawl the unit is the line); a unit appearing in >=
+    SCRUB_MIN_DF distinct documents is boilerplate and is dropped, the
+    survivors are stitched back in order. Emits
+    (doc_id, n_units, n_kept, cleaned).
+
+    Scale shape: the unit table is materialized ONCE
+    (localCheckpoint) and feeds the census and the scrub side; the
+    census is one md5-key shuffle with map-side partial agg; the heavy
+    list (boilerplate is by definition the df tail) broadcasts into a
+    hash-key anti-join; only the KEPT units pay the one regroup
+    shuffle that rebuilds documents — dropped boilerplate never
+    travels. n_units comes narrow from the source row (ceil of the
+    word count), not from a second aggregate over the exploded
+    table."""
+    d = load(spark, sf_dir, "documents")
+    w = F.col("w")
+    idx = F.sequence(
+        F.lit(0).cast("long"),
+        F.ceil(F.size(w) / float(SCRUB_W)).cast("long") - 1,
+    )
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    units = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(w, (i * SCRUB_W + 1).cast("int"), SCRUB_W), " "
+                ),
+            )
+        ).alias("pos", "unit"),
+    ).localCheckpoint()
+    heavy = (
+        units.groupBy(F.md5("unit").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SCRUB_MIN_DF)
+        .select("h")
+    )
+    kept = units.withColumn("h", F.md5("unit")).join(
+        F.broadcast(heavy), "h", "left_anti"
+    )
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda x: x["unit"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    stats = words.select(
+        "doc_id",
+        F.ceil(F.size(w) / float(SCRUB_W)).cast("long").alias("n_units"),
+    )
+    return (
+        stats.join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_units",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
 # per-lang keep-rate as a hex-prefix threshold over md5(doc_id):
 # 2 hex chars = doc_id's bucket in 0..255; '80' keeps 128/256 = 50%.
 SAMPLE_RATES = {"en": "80", "de": "40", "hi": "40", "sa": "ff"}
