@@ -2,6 +2,8 @@
 (pushdown, pruning, broadcast, top-k pushdown, shuffle-free hot path)
 must be visible in the executed plan, not just claimed (SURVEY §4)."""
 
+import __spark_entry__  # noqa: F401 — populates the registry
+
 from win64_local_ocr_tool_spark.operators.registry import QUERIES as REG
 
 from win64_local_ocr_tool_spark.corpus import corpus_df
@@ -157,4 +159,17 @@ def test_q5_dimension_chain_broadcasts(spark, sf_dir):
     broadcast; only the orders-lineitem spine may shuffle."""
     plan = _plan(REG["q5_local_supplier_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_scrub_kill_list_broadcasts(spark, sf_dir):
+    """The scrub's heavy-unit kill list must broadcast into the
+    anti-join (boilerplate is the df tail — tiny next to the unit
+    table), and the unit table must be materialized once
+    (localCheckpoint), never re-derived from parquet per consumer."""
+    plan = _plan(REG["boilerplate_scrub_chunks"](spark, sf_dir))
+    assert any(
+        "BroadcastHashJoin" in l and "LeftAnti" in l
+        for l in plan.splitlines()
+    ), plan
     assert "SortMergeJoin" not in plan

@@ -6,6 +6,8 @@ import duckdb
 import pandas as pd
 import pytest
 
+import __spark_entry__  # noqa: F401 — populates the registry
+
 from win64_local_ocr_tool_spark.operators.registry import ORACLES as REG_SQL, QUERIES as REG
 
 DOCS = pd.DataFrame(
