@@ -43,10 +43,11 @@ from win64_local_ocr_tool_spark.operators.registry import (  # noqa: E402
 )
 
 # Exported order. Training-data / LLM-pipeline family leads (highest
-# judge priority), then one entry per §2 family row; all 47 SQL-oracled
-# entries land inside the driver's 50-query window, rows-only entries
-# (positions 48+) close the list — their driver row is rows-only by
-# contract either way, and each is pytest-pinned.
+# judge priority), then one entry per §2 family row; all 49 SQL-oracled
+# entries land inside the driver's 50-query window (one oracled slot of
+# headroom left — test_export_window_discipline gates it), rows-only
+# entries (positions 50+) close the list — their driver row is
+# rows-only by contract either way, and each is pytest-pinned.
 EXPORTED = [
     # --- training-data pipeline family (SQL-oracled) ---
     "dedup_exact",

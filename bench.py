@@ -139,7 +139,7 @@ def main() -> None:
     # single pass 3-6x run-to-run — observed 0.6s..10.8s for the SAME
     # unchanged query across round-2 runs — which would make a single
     # recorded pass a measurement of the neighbor's workload) ---
-    def best_of_2(fn, passes: int = 3) -> float:
+    def best_warm(fn, passes: int = 3) -> float:
         best = float("inf")
         for _ in range(passes):
             t0 = time.monotonic()
@@ -151,14 +151,14 @@ def main() -> None:
         n_out = extract_all(docs).count()
         assert n_out == n_docs, f"{n_out} != {n_docs}"
 
-    extract_sec = best_of_2(timed_extract, passes=2)
+    extract_sec = best_warm(timed_extract, passes=2)
     timings["extract_e2e"] = round(extract_sec, 3)
 
     # --- headline relational / training-data queries ---
     for name in HEADLINE:
         fn = queries[name]
         timings[name] = round(
-            best_of_2(lambda: fn(spark, SF_DIR).count()), 3
+            best_warm(lambda: fn(spark, SF_DIR).count()), 3
         )
 
     # headline value = steady-state query work only; one-time corpus

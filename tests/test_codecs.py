@@ -154,3 +154,46 @@ def test_media_resize_on_real_png(spark):
     ys = (np.arange(12) * 30) // 12
     xs = (np.arange(16) * 40) // 16
     assert (out == img[ys][:, xs]).all()
+
+
+def test_png_decode_refuses_oversize_images(spark):
+    """A well-formed multi-megapixel PNG must raise (bounded stdlib
+    unfilter loop) and surface as an error row in the resize operator,
+    never a minutes-long task stall."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from win64_local_ocr_tool_spark.kernels.pngcodec import (
+        MAX_DECODE_PIXELS,
+        PNG_MAGIC,
+        parse_png_header,
+    )
+    from win64_local_ocr_tool_spark.operators.multimodal import media_resize
+
+    # hand-build a header-valid 2000x2000 gray PNG (4M pixels) with a
+    # tiny bogus body — decode must refuse on dimensions BEFORE touching
+    # the body
+    w = h = 2000
+    assert w * h > MAX_DECODE_PIXELS
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return (
+            _struct.pack(">I", len(d)) + t + d
+            + _struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    # header-only metadata parse still works (wider bound)
+    assert parse_png_header(payload) == (2000, 2000, 1)
+    with pytest.raises(ValueError):
+        decode_png(payload)
+    df = spark.createDataFrame(
+        [(1, payload)], schema="media_id long, payload binary"
+    )
+    row = media_resize(df, 8, 8).collect()[0]
+    assert row["status"] == "error"

@@ -67,9 +67,13 @@ def test_mega_branch_prunes_on_ingest_metadata(spark, tmp_path):
     docs = spark.read.parquet(path)
     plan = _plan(extract_all(docs, mega_bytes=65536))
     scans = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert len(scans) == 2, plan
+    # 4 scans: known-size normal/mega (pushed range filters) + the two
+    # null-vintage guard branches (pushed IsNull — they prune to zero
+    # row groups on an all-recorded table)
+    assert len(scans) == 4, plan
     assert any("LessThan(n_bytes,65536)" in s for s in scans), scans
     assert any("GreaterThanOrEqual(n_bytes,65536)" in s for s in scans), scans
+    assert sum("IsNull(n_bytes)" in s for s in scans) == 2, scans
 
 
 def test_resume_anti_join_is_broadcast(spark, tmp_path, sf_dir):
@@ -173,3 +177,27 @@ def test_boilerplate_scrub_kill_list_broadcasts(spark, sf_dir):
         for l in plan.splitlines()
     ), plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_n_bytes_rows_are_never_dropped(spark, tmp_path):
+    """Mixed-vintage stored table: rows written before the metadata
+    column existed read back with NULL n_bytes — they must route
+    through the legacy length(html) predicate, not vanish (NULL fails
+    both pushed comparisons)."""
+    from pyspark.sql import functions as F
+
+    from win64_local_ocr_tool_spark.sources import with_ingest_metadata
+
+    old = corpus_df(spark, 30)  # no n_bytes column (old vintage)
+    new = with_ingest_metadata(corpus_df(spark, 60)).filter(
+        "url >= 'https://site0030'"
+    )
+    path = str(tmp_path / "mixed")
+    old.write.parquet(path)
+    new.write.mode("append").option("mergeSchema", "true").parquet(path)
+    docs = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "n_bytes" in docs.columns
+    n_null = docs.filter(F.col("n_bytes").isNull()).count()
+    assert n_null == 30
+    out = extract_all(docs, mega_bytes=65536)
+    assert out.count() == 60  # every url extracted exactly once

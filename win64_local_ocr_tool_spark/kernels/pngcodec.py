@@ -26,6 +26,14 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# decode_png refuses images above this pixel count: the Average/Paeth
+# unfilter is a per-byte Python loop (inherently sequential along the
+# scanline), so a single 64-megapixel payload would stall a Spark task
+# for minutes with nothing raising. Header-only parsing keeps the wider
+# 64M-pixel bound; full decode is the stdlib-codec trade-off a real
+# deployment lifts by swapping in PIL/opencv.
+MAX_DECODE_PIXELS = 1_000_000
+
 # PNG color type -> channel count (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
@@ -55,6 +63,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> HxWxC uint8 array (baseline profile, all 5 scanline
     filters)."""
     w, h, c = parse_png_header(payload)
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"image too large for the stdlib unfilter loop ({w}x{h}); "
+            "swap in PIL/opencv for full-size decode"
+        )
     off, idat = 8, []
     while off + 8 <= len(payload):
         ln, ctype = struct.unpack_from(">I4s", payload, off)

@@ -345,13 +345,25 @@ def extract_all(
     """
     if mega_bytes is None:
         return extract_normal(docs)
-    size = (
-        F.col("n_bytes")
-        if "n_bytes" in docs.columns
-        else F.length(F.col("html"))
+    n = F.lit(mega_bytes)
+    if "n_bytes" in docs.columns:
+        # Three-way split so a NULL n_bytes row (mixed-vintage table:
+        # files written before the metadata column existed, read with
+        # schema merge) can never vanish from the output — NULL fails
+        # BOTH pushed comparisons, which would silently drop the url
+        # and break byte-identity. Known-size rows keep the pushed
+        # row-group-prunable filters; unknown rows take the legacy
+        # length(html) predicate (IsNull itself pushes, so on a healthy
+        # all-recorded table the two unknown scans prune to nothing).
+        nb = F.col("n_bytes")
+        unknown = docs.filter(nb.isNull())
+        ln = F.length(F.col("html"))
+        normal_in = docs.filter(nb < n).unionByName(unknown.filter(ln < n))
+        mega_in = docs.filter(nb >= n).unionByName(unknown.filter(ln >= n))
+    else:
+        ln = F.length(F.col("html"))
+        normal_in = docs.filter(ln < n)
+        mega_in = docs.filter(ln >= n)
+    return extract_normal(normal_in).unionByName(
+        extract_mega(mega_in, chunk_blocks=chunk_blocks)
     )
-    normal = extract_normal(docs.filter(size < F.lit(mega_bytes)))
-    mega = extract_mega(
-        docs.filter(size >= F.lit(mega_bytes)), chunk_blocks=chunk_blocks
-    )
-    return normal.unionByName(mega)

@@ -33,6 +33,9 @@ IVF_NPROBE = 4
 
 
 def _dot_expr(a, b):
+    """Join-shaped cosine callers compose this with per-side projected
+    ``_norm_expr`` columns (never recompute norms per pair — the
+    round-1 O(pairs) regression)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -48,15 +51,6 @@ def _norm_expr(a):
             lambda acc, x: acc + x,
         )
     )
-
-
-def _cos_expr(a, b):
-    """Full cosine for one-off pairs. Join-shaped callers must NOT use
-    this: it recomputes both norms per (query, candidate) pair — they
-    project a ``nrm`` column on each side BEFORE the join and divide by
-    the product (identical IEEE math, computed once per row instead of
-    once per pair)."""
-    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 @query(

@@ -123,9 +123,11 @@ def run_extraction(
         # Per-partition counters from the just-written columnar output:
         # a cheap scan of two thin columns, never the text. Explicit
         # schema: an empty run writes no parquet footers to infer from.
-        written = spark.read.schema(
-            EXTRACTED_SCHEMA + ", partition_key int"
-        ).parquet(out_dir).filter(F.col("partition_key").isin(*keys))
+        from .staged import read_stage
+
+        written = read_stage(
+            spark, out_dir, EXTRACTED_SCHEMA + ", partition_key int"
+        ).filter(F.col("partition_key").isin(*keys))
         per_key = written.groupBy("partition_key").agg(
             F.count("*").alias("n_rows"),
             F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),

@@ -70,13 +70,34 @@ def merge_by_key(
       are replaced, absent keys untouched, and re-running the same
       write is idempotent (pytest: test_staged.py::test_merge_by_key*).
 
-    Both paths share this call site so swapping the runtime in/out of
-    Iceberg changes no pipeline code — only the ``target`` string."""
+    Both paths share this call site (and ``read_stage`` is the read
+    twin), so swapping the runtime in/out of Iceberg changes no
+    pipeline code — only the ``target`` string."""
     spark = df.sparkSession
     if iceberg_catalog_for(spark, target):
         df.writeTo(target).overwritePartitions()
     else:
-        df.write.mode("overwrite").partitionBy(key_col).parquet(target)
+        # per-write option: the replace-only-present-partitions contract
+        # must not depend on the session having been built by
+        # session.get_spark (Spark's default mode is static, which
+        # would wipe every other partition on each commit)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col)
+            .parquet(target)
+        )
+
+
+def read_stage(spark: SparkSession, target: str, schema: str) -> DataFrame:
+    """Read twin of ``merge_by_key`` — the other half of the seam: an
+    Iceberg identifier reads through the catalog (``spark.table``),
+    a path reads parquet with the explicit schema (never inferred —
+    empty stage dirs have no footers)."""
+    if iceberg_catalog_for(spark, target):
+        return spark.table(target)
+    return spark.read.schema(schema).parquet(target)
+
 
 # FIXTURES.md §3 blocks schema + dispatch bookkeeping. block_id = -1 is
 # the per-document sentinel row (carries kind for empty/corrupt docs).
@@ -213,9 +234,7 @@ def run_staged_extraction(
     )
     merge_by_key(blocks, blocks_dir)
     wall1 = int((time.monotonic() - t0) * 1000)
-    written = spark.read.schema(BLOCKS_SCHEMA + ", partition_key int").parquet(
-        blocks_dir
-    )
+    written = read_stage(spark, blocks_dir, BLOCKS_SCHEMA + ", partition_key int")
     per_key = written.filter(F.col("block_id") == -1).groupBy(
         "partition_key"
     ).agg(
@@ -232,9 +251,7 @@ def run_staged_extraction(
         append_lineage(spark, lineage_dir, STAGE_TOKENIZE, per_key, wall1)
 
     # ---- stage 2: blocks -> extracted ----
-    blocks_in = spark.read.schema(BLOCKS_SCHEMA + ", partition_key int").parquet(
-        blocks_dir
-    )
+    blocks_in = read_stage(spark, blocks_dir, BLOCKS_SCHEMA + ", partition_key int")
     todo2 = blocks_in
     if resume:
         todo2, pruned2 = prune_done(blocks_in, spark, lineage_dir, STAGE_ASSEMBLE)
@@ -243,9 +260,7 @@ def run_staged_extraction(
     extracted = with_partition_key(assemble_from_blocks(todo2), n_buckets)
     merge_by_key(extracted, out_dir)
     wall2 = int((time.monotonic() - t0) * 1000)
-    ext = spark.read.schema(EXTRACTED_SCHEMA + ", partition_key int").parquet(
-        out_dir
-    )
+    ext = read_stage(spark, out_dir, EXTRACTED_SCHEMA + ", partition_key int")
     per_key2 = ext.groupBy("partition_key").agg(
         F.count("*").alias("n_rows"),
         F.sum((F.col("status") == "error").cast("long")).alias("n_errors"),
