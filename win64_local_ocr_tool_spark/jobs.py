@@ -55,6 +55,20 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", required=True)
     cu.add_argument("--master", default=None)
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="full crawl-to-corpus chain: extract (lineage+resume) -> "
+             "documents stage table -> curated training corpus",
+    )
+    pl.add_argument("--input", help="parquet/Iceberg path of raw pages")
+    pl.add_argument("--synthetic", type=int, default=None,
+                    help="generate N synthetic pages instead of --input")
+    pl.add_argument("--workdir", required=True,
+                    help="stage root: extracted/, lineage/, docs/, corpus/")
+    pl.add_argument("--n-buckets", type=int, default=64)
+    pl.add_argument("--resume", action="store_true")
+    pl.add_argument("--master", default=None)
+
     st = sub.add_parser(
         "stream",
         help="drain newly-arrived document files incrementally "
@@ -96,6 +110,30 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "pipeline":
+        from .pipeline import run_crawl_to_corpus
+
+        spark = get_spark("pipeline-job", master=args.master)
+        try:
+            if args.synthetic is not None:
+                docs = corpus_df(spark, args.synthetic)
+            elif args.input:
+                docs = spark.read.parquet(args.input)
+            else:
+                print("need --input or --synthetic", file=sys.stderr)
+                return 2
+            stats = run_crawl_to_corpus(
+                spark,
+                docs,
+                args.workdir,
+                n_buckets=args.n_buckets,
+                resume=args.resume,
+            )
+            print(json.dumps(stats))
             return 0
         finally:
             spark.stop()

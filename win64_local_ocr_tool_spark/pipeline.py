@@ -165,3 +165,79 @@ def run_extraction(
         "commit_groups": len(groups),
         "wall_ms": wall_total,
     }
+
+
+def extracted_to_documents(extracted: DataFrame) -> DataFrame:
+    """Bridge the two halves of a web-scale training pipeline: the
+    extracted table (url, status, extracted_text, lang) re-shaped as
+    the ``documents`` curation input (doc_id, text, lang, source,
+    n_chars) that every textops operator consumes.
+
+    doc_id is a pure function of the url (non-negative xxhash64), so
+    dedup/decontamination/sampling decisions are stable across reruns
+    and partitionings — the same determinism rule as the extraction
+    itself. source is the url's host label (the per-site stratum a
+    mixing policy keys on). Error rows carry no text and are dropped
+    here; their lineage counters already recorded them."""
+    return (
+        extracted.filter(F.col("status") == "ok")
+        .select(
+            # shiftrightunsigned keeps the id positive without abs()'s
+            # Long.MIN_VALUE edge case
+            F.shiftrightunsigned(F.xxhash64("url"), 1).alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+            "lang",
+            F.regexp_extract("url", r"https?://([^./]+)", 1).alias("source"),
+            F.length("extracted_text").alias("n_chars"),
+        )
+    )
+
+
+def run_crawl_to_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    work_dir: str,
+    *,
+    n_buckets: int = 64,
+    resume: bool = False,
+) -> dict:
+    """The full north-star flow as ONE chained job: raw pages ->
+    byte-identical extraction (lineage + resume) -> documents-shaped
+    stage table -> curated training corpus (near-dup canonicalized,
+    benchmark-decontaminated, quality-gated).
+
+    The intermediate lands as ``<work_dir>/docs/documents.parquet`` —
+    the standard curation input layout — so the whole textops family
+    (and its DuckDB oracles) runs unchanged over extraction output.
+    Each half keeps its own failure/restart story: extraction resumes
+    at partition granularity via lineage; curation is a deterministic
+    pure function of the stage table."""
+    from .operators.textops import training_corpus_final
+
+    ext_stats = run_extraction(
+        spark,
+        docs,
+        out_dir=f"{work_dir}/extracted",
+        lineage_dir=f"{work_dir}/lineage",
+        n_buckets=n_buckets,
+        resume=resume,
+    )
+    from .operators.extract import EXTRACTED_SCHEMA
+    from .staged import read_stage
+
+    extracted = read_stage(
+        spark, f"{work_dir}/extracted", EXTRACTED_SCHEMA + ", partition_key int"
+    )
+    docs_dir = f"{work_dir}/docs"
+    extracted_to_documents(extracted).write.mode("overwrite").parquet(
+        f"{docs_dir}/documents.parquet"
+    )
+    corpus = training_corpus_final(spark, docs_dir)
+    corpus.write.mode("overwrite").parquet(f"{work_dir}/corpus")
+    n_corpus = spark.read.parquet(f"{work_dir}/corpus").count()
+    return {
+        **{f"extract_{k}": v for k, v in ext_stats.items()},
+        "docs_dir": docs_dir,
+        "corpus_dir": f"{work_dir}/corpus",
+        "n_corpus_docs": int(n_corpus),
+    }
