@@ -191,3 +191,91 @@ def test_stateful_running_totals_across_restarts(spark, dirs, tmp_path):
     pd.testing.assert_frame_equal(
         final.astype("int64"), want.astype("int64")
     )
+
+
+def test_stateful_sessions_match_batch_twin(spark, dirs):
+    """Session windows via applyInPandasWithState: closed + open
+    sessions reconstructed across two time-ordered epochs must equal
+    the batch sessionize logic (same 1800s gap) on the full data —
+    including a session that SPANS the epoch boundary and one that the
+    second epoch's first event closes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        drain_sessions,
+        final_sessions,
+    )
+
+    base = pd.Timestamp("2025-01-01")
+
+    def ev(eid, user, minutes):
+        return {
+            "event_id": eid,
+            "ts": base + pd.to_timedelta(minutes, unit="m"),
+            "user_id": user,
+            "event_type": "view",
+            "value": 1.0,
+        }
+
+    # user 1: session A (0-10m), gap, session B starts 120m and SPANS
+    #   the epoch split (continues at 125m in epoch 2)
+    # user 2: session C (0-5m); epoch 2 first event at 200m closes it
+    e1 = pd.DataFrame(
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 120),
+         ev(4, 2, 0), ev(5, 2, 5)]
+    )
+    e2 = pd.DataFrame(
+        [ev(6, 1, 125), ev(7, 1, 126), ev(8, 2, 200)]
+    )
+    _land(e1, dirs["in"], "e1.parquet")
+    drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    _land(e2, dirs["in"], "e2.parquet")
+    drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    got = (
+        final_sessions(spark, dirs["out"])
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # expected sessions over the union of both epochs
+    want = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "start_m": [0, 120, 0, 200],
+            "end_m": [10, 126, 5, 200],
+            "n_events": [2, 3, 2, 1],
+            "closed": [True, False, True, False],
+        }
+    )
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert list(got["closed"]) == list(want["closed"])
+    for i in range(len(want)):
+        assert got["session_start"][i] == base + pd.to_timedelta(
+            want["start_m"][i], unit="m"
+        )
+        assert got["session_end"][i] == base + pd.to_timedelta(
+            want["end_m"][i], unit="m"
+        )
+
+    # per-user session COUNTS equal the batch sessionize twin
+    full = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    ).parquet(dirs["in"])
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    win = w.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
+    batch = (
+        full.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+        .toPandas()
+        .set_index("user_id")["n_sessions"]
+    )
+    stream_counts = got.groupby("user_id").size()
+    for uid in batch.index:
+        assert stream_counts[uid] == batch[uid]

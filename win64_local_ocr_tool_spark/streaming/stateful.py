@@ -107,6 +107,158 @@ def drain_running_totals(
     q.awaitTermination()
 
 
+SESSION_GAP_S = 1800  # inactivity gap, matching the batch sessionize query
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, closed boolean"
+)
+# open-session carry state: epoch-seconds + count — three longs per key
+SESSION_STATE_SCHEMA = "start_s long, last_s long, n long"
+
+
+def _update_sessions(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time session windows as custom state: consecutive events
+    <= SESSION_GAP_S apart share a session; a larger gap CLOSES the
+    running session (emitted with closed=True) and opens a new one.
+    The still-open tail session lives in the state store and is
+    re-emitted each update with closed=False.
+
+    Deliberately NO wall-clock timeout: in this engine a session closes
+    when a later event proves the gap, never when the processing clock
+    says so — a processing-time timeout would make emitted rows depend
+    on arrival schedule, violating the determinism discipline every
+    other operator follows (same answer for any partitioning/epoch
+    split of in-order arrivals)."""
+    import numpy as np
+
+    pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    t = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+    if state.exists:
+        start0, last0, n0 = state.get
+    else:
+        start0 = last0 = None
+        n0 = 0
+    prev = np.concatenate(([last0 if last0 is not None else t[0]], t[:-1]))
+    is_new = (t - prev) > SESSION_GAP_S
+    if last0 is None:
+        is_new[0] = True
+    seg = np.cumsum(is_new)  # 0 = continuation of the open session
+    rows = []
+    last_seg = int(seg[-1])
+    if last0 is not None and is_new[0]:
+        # the carried open session got no continuation — this batch's
+        # first event proves the gap, so it closes NOW
+        rows.append((int(start0), int(last0), int(n0), True))
+    for s in range(0, last_seg + 1):
+        mask = seg == s
+        if not mask.any():
+            continue  # s == 0 with no continuation rows
+        ts_seg = t[mask]
+        if s == 0 and last0 is not None:
+            s_start, s_n = int(start0), int(n0) + int(mask.sum())
+        else:
+            s_start, s_n = int(ts_seg[0]), int(mask.sum())
+        s_last = int(ts_seg[-1])
+        closed = s != last_seg
+        rows.append((s_start, s_last, s_n, closed))
+        if not closed:
+            state.update((s_start, s_last, s_n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "session_start": pd.to_datetime([r[0] for r in rows], unit="s"),
+            "session_end": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "n_events": [r[2] for r in rows],
+            "closed": [r[3] for r in rows],
+        }
+    )
+
+
+def streaming_sessions(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming session windows per user (SURVEY §2.9: the custom
+    stateful operator the brief names — ``applyInPandasWithState``
+    carrying an open-session record per key)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain available files through the session operator
+    (overwrite-by-epoch parquet sink, same idempotent-replay scheme as
+    ``drain_running_totals``)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        streaming_sessions(spark, input_dir)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def final_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Reconstruct the session table across epochs: every closed
+    session, plus each user's latest open session."""
+    from pyspark.sql import functions as F
+
+    rows = spark.read.schema(SESSION_OUTPUT_SCHEMA + ", epoch long").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out_dir)
+    closed = rows.filter("closed").dropDuplicates(
+        ["user_id", "session_start"]
+    )
+    # the open session: latest emitted row per user that never closed
+    latest_open = (
+        rows.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("session_start", "session_end", "n_events", "closed"),
+                F.struct("epoch", "session_start"),
+            ).alias("s")
+        )
+        .filter(~F.col("s.closed"))
+        .select(
+            "user_id", "s.session_start", "s.session_end", "s.n_events",
+            "s.closed",
+        )
+    )
+    # an open session in epoch k may have CLOSED in epoch k+1; keep the
+    # open row only if no closed row shares its (user, start)
+    latest_open = latest_open.join(
+        closed.select("user_id", "session_start"),
+        ["user_id", "session_start"],
+        "left_anti",
+    )
+    return closed.select(
+        "user_id", "session_start", "session_end", "n_events", "closed"
+    ).unionByName(latest_open)
+
+
 def latest_totals(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per user, the most recent running-total row across all epochs."""
     from pyspark.sql import functions as F
