@@ -279,3 +279,75 @@ def test_stateful_sessions_match_batch_twin(spark, dirs):
     stream_counts = got.groupby("user_id").size()
     for uid in batch.index:
         assert stream_counts[uid] == batch[uid]
+
+
+def test_stateful_sessions_randomized_vs_reference(spark, dirs):
+    """Randomized stress: arbitrary per-user event times split into
+    three time-ordered epochs must reproduce exactly the sessions a
+    single-pass reference sessionizer computes over the full stream."""
+    import numpy as np
+    import pandas as pd
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        drain_sessions,
+        final_sessions,
+    )
+
+    rng = np.random.default_rng(1234)
+    base = pd.Timestamp("2025-01-01")
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = 0
+        for _ in range(rng.integers(5, 40)):
+            # mix of sub-gap and super-gap steps
+            t += int(rng.choice([30, 300, 1800, 1801, 5000, 60]))
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + pd.to_timedelta(t, unit="s"),
+                    "user_id": user,
+                    "event_type": "view",
+                    "value": 1.0,
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows).sort_values("ts").reset_index(drop=True)
+    cuts = [len(df) // 3, 2 * len(df) // 3]
+    _land(df.iloc[: cuts[0]], dirs["in"], "e1.parquet")
+    drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    _land(df.iloc[cuts[0] : cuts[1]], dirs["in"], "e2.parquet")
+    drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    _land(df.iloc[cuts[1] :], dirs["in"], "e3.parquet")
+    drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    got = (
+        final_sessions(spark, dirs["out"])
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    # single-pass reference over the full ordered stream
+    want = []
+    for user, g in df.groupby("user_id"):
+        ts = sorted(int(x.timestamp()) for x in g["ts"])
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > SESSION_GAP_S:
+                want.append((user, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        want.append((user, start, last, n))
+    want.sort()
+    assert len(got) == len(want)
+    for i, (user, start, end, n) in enumerate(want):
+        assert got["user_id"][i] == user
+        assert int(got["session_start"][i].timestamp()) == start, (i, want[i])
+        assert int(got["session_end"][i].timestamp()) == end
+        assert got["n_events"][i] == n
+    # exactly one open session per user (the tail), everything else closed
+    open_per_user = got[~got["closed"]].groupby("user_id").size()
+    assert (open_per_user == 1).all()
