@@ -124,6 +124,20 @@ def main() -> None:
             q["f8_outlier_mask"](spark, SF),
         ),
         (
+            "sim_srp_lsh — LSH-bucketed similarity",
+            "SRP signatures in one narrow pass (literal hyperplanes), "
+            "band table localCheckpoint-ed, candidates from a "
+            "(band, bandkey) equi-join — never an all-pairs compare.",
+            q["sim_srp_lsh"](spark, SF),
+        ),
+        (
+            "boilerplate_scrub_chunks — kill-list broadcast + kept-only regroup",
+            "The heavy-unit census broadcasts into a LeftAnti "
+            "BroadcastHashJoin; only surviving units pay the regroup "
+            "shuffle that rebuilds documents.",
+            q["boilerplate_scrub_chunks"](spark, SF),
+        ),
+        (
             "o6_mst_kruskal — document-local graph kernel",
             "One Exchange (the grouping key), then FlatMapGroupsInPandas: "
             "graphs never span groups, so the MST needs no iterative "
