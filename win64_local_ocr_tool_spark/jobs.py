@@ -65,6 +65,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="generate N synthetic pages instead of --input")
     pl.add_argument("--workdir", required=True,
                     help="stage root: extracted/, lineage/, docs/, corpus/")
+    pl.add_argument("--benchmark", default=None,
+                    help="directory holding the eval-suite "
+                         "documents.parquet to decontaminate against "
+                         "(omit = no decontamination gate)")
     pl.add_argument("--n-buckets", type=int, default=64)
     pl.add_argument("--resume", action="store_true")
     pl.add_argument("--master", default=None)
@@ -132,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.workdir,
                 n_buckets=args.n_buckets,
                 resume=args.resume,
+                benchmark_dir=args.benchmark,
             )
             print(json.dumps(stats))
             return 0

@@ -90,7 +90,9 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "lang": [],
         }
         for payload in pdf["html"]:
-            res = extract_document(bytes(payload))
+            # NULL payload (body lost at crawl time) -> empty bytes ->
+            # the undecodable-payload error row, never a task failure
+            res = extract_document(b"" if payload is None else bytes(payload))
             out["status"].append(res["status"])
             out["extracted_text"].append(res["extracted_text"])
             out["spans"].append(_spans_records(res["spans"]))
@@ -138,7 +140,9 @@ def make_chunker(chunk_blocks: int):
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["html"]):
-                kind, blocks = tokenize_payload(bytes(payload))
+                kind, blocks = tokenize_payload(
+                    b"" if payload is None else bytes(payload)
+                )
                 recs = [_block_rec(b) for b in blocks]
                 if kind != "html":
                     # PDF/corrupt payloads are never block-split: one chunk.
@@ -357,11 +361,15 @@ def extract_all(
         # all-recorded table the two unknown scans prune to nothing).
         nb = F.col("n_bytes")
         unknown = docs.filter(nb.isNull())
-        ln = F.length(F.col("html"))
+        # NULL html counts as size 0 (routes to the normal path, where
+        # the empty/undecodable payload becomes a status='error' row) —
+        # a bare length(html) would be NULL and fail both comparisons,
+        # dropping the url
+        ln = F.coalesce(F.length(F.col("html")), F.lit(0))
         normal_in = docs.filter(nb < n).unionByName(unknown.filter(ln < n))
         mega_in = docs.filter(nb >= n).unionByName(unknown.filter(ln >= n))
     else:
-        ln = F.length(F.col("html"))
+        ln = F.coalesce(F.length(F.col("html")), F.lit(0))
         normal_in = docs.filter(ln < n)
         mega_in = docs.filter(ln >= n)
     return extract_normal(normal_in).unionByName(

@@ -981,6 +981,48 @@ def stratified_sample(spark, sf_dir):
     return d.filter(pref < rate).select("doc_id", "lang")
 
 
+def curate_documents(spark, docs_dir: str, benchmark_dir: str | None = None):
+    """Production curation entry for a REAL documents table: quality
+    gate ∩ dedup-canonical ∩ (optional) decontamination against an
+    EXPLICIT eval-suite table.
+
+    The registry query ``training_corpus_final`` keeps the synthetic
+    in-corpus benchmark convention (``doc_id % BENCH_MOD == 0``) so its
+    DuckDB oracle can reproduce the protocol from the same parquet —
+    but reusing that convention on a real crawl would silently
+    sacrifice an arbitrary 1/BENCH_MOD of perfectly good pages as
+    "the eval set". Here the benchmark is a table the caller supplies
+    (``<benchmark_dir>/documents.parquet``); with none supplied the
+    decontamination gate is simply absent. Same scale shapes as the
+    registry query: broadcast kill-lists against one corpus scan, the
+    bench gram set md5-hashed and broadcast."""
+    comp = dedup_components(spark, docs_dir)
+    dup_drops = comp.filter(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+    kept = training_data_filter(spark, docs_dir).join(
+        F.broadcast(dup_drops), "doc_id", "left_anti"
+    )
+    if benchmark_dir is not None:
+        bench = (
+            _word_ngrams(
+                load(spark, benchmark_dir, "documents"), DECON_W, "g"
+            )
+            .select(F.md5("g").alias("h"))
+            .distinct()
+        )
+        corpus_grams = _word_ngrams(
+            load(spark, docs_dir, "documents"), DECON_W, "g"
+        ).select("doc_id", F.md5("g").alias("h"))
+        cont = (
+            corpus_grams.join(F.broadcast(bench), "h")
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(F.broadcast(cont), "doc_id", "left_anti")
+    return kept
+
+
 @query(
     "training_corpus_final",
     f"""

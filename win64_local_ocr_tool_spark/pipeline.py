@@ -176,9 +176,11 @@ def extracted_to_documents(extracted: DataFrame) -> DataFrame:
     doc_id is a pure function of the url (non-negative xxhash64), so
     dedup/decontamination/sampling decisions are stable across reruns
     and partitionings — the same determinism rule as the extraction
-    itself. source is the url's host label (the per-site stratum a
-    mixing policy keys on). Error rows carry no text and are dropped
-    here; their lineage counters already recorded them."""
+    itself. source is the full lowercased hostname with a leading
+    ``www.`` stripped (the per-site stratum a mixing policy keys on —
+    the first label alone would collapse every www-prefixed site into
+    one stratum). Error rows carry no text and are dropped here; their
+    lineage counters already recorded them."""
     return (
         extracted.filter(F.col("status") == "ok")
         .select(
@@ -187,7 +189,9 @@ def extracted_to_documents(extracted: DataFrame) -> DataFrame:
             F.shiftrightunsigned(F.xxhash64("url"), 1).alias("doc_id"),
             F.col("extracted_text").alias("text"),
             "lang",
-            F.regexp_extract("url", r"https?://([^./]+)", 1).alias("source"),
+            F.regexp_extract(
+                F.lower("url"), r"^[a-z][a-z0-9+.-]*://(?:www\.)?([^/:?#]+)", 1
+            ).alias("source"),
             F.length("extracted_text").alias("n_chars"),
         )
     )
@@ -200,11 +204,19 @@ def run_crawl_to_corpus(
     *,
     n_buckets: int = 64,
     resume: bool = False,
+    benchmark_dir: str | None = None,
 ) -> dict:
     """The full north-star flow as ONE chained job: raw pages ->
     byte-identical extraction (lineage + resume) -> documents-shaped
     stage table -> curated training corpus (near-dup canonicalized,
-    benchmark-decontaminated, quality-gated).
+    quality-gated, and — when ``benchmark_dir`` supplies an eval-suite
+    documents table — decontaminated against ITS 13-grams).
+
+    Curation goes through ``textops.curate_documents``, NOT the
+    registry's ``training_corpus_final``: that query's synthetic
+    in-corpus benchmark convention (doc_id % 29) exists for its DuckDB
+    oracle and would silently sacrifice an arbitrary 1/29 of a real
+    crawl as "the eval set".
 
     The intermediate lands as ``<work_dir>/docs/documents.parquet`` —
     the standard curation input layout — so the whole textops family
@@ -212,7 +224,7 @@ def run_crawl_to_corpus(
     Each half keeps its own failure/restart story: extraction resumes
     at partition granularity via lineage; curation is a deterministic
     pure function of the stage table."""
-    from .operators.textops import training_corpus_final
+    from .operators.textops import curate_documents
 
     ext_stats = run_extraction(
         spark,
@@ -232,7 +244,7 @@ def run_crawl_to_corpus(
     extracted_to_documents(extracted).write.mode("overwrite").parquet(
         f"{docs_dir}/documents.parquet"
     )
-    corpus = training_corpus_final(spark, docs_dir)
+    corpus = curate_documents(spark, docs_dir, benchmark_dir)
     corpus.write.mode("overwrite").parquet(f"{work_dir}/corpus")
     n_corpus = spark.read.parquet(f"{work_dir}/corpus").count()
     return {

@@ -119,7 +119,9 @@ def tokenize_to_blocks(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["html"]):
-                kind, blocks = tokenize_payload(bytes(payload))
+                kind, blocks = tokenize_payload(
+                    b"" if payload is None else bytes(payload)
+                )
                 rows.append(
                     {"url": url, "kind": kind, "block_id": -1, "tag": "",
                      "depth": 0, "pos": 0, "text": "", "text_len": 0,

@@ -78,16 +78,12 @@ def running_user_totals(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def drain_running_totals(
-    spark: SparkSession,
-    input_dir: str,
-    out_dir: str,
-    checkpoint_dir: str,
-) -> None:
-    """Drain available files through the stateful operator, writing each
-    batch's update rows to an ``epoch=<id>`` directory (the memory sink
-    cannot recover from a checkpoint; overwrite-by-epoch parquet can —
-    same idempotent-replay scheme as ``incremental_extraction``)."""
+def _drain(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """ONE idempotent-replay drain for every stateful operator here:
+    each batch's update rows land in an ``epoch=<id>`` directory (the
+    memory sink cannot recover from a checkpoint; overwrite-by-epoch
+    parquet can — same scheme as ``incremental_extraction``). A change
+    to the replay/commit layout happens once, for all drains."""
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -97,14 +93,23 @@ def drain_running_totals(
         ).parquet(f"{out_dir}/epoch={epoch_id}")
 
     q = (
-        running_user_totals(spark, input_dir)
-        .writeStream.foreachBatch(sink)
+        stream_df.writeStream.foreachBatch(sink)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def drain_running_totals(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain available files through the running-totals operator."""
+    _drain(running_user_totals(spark, input_dir), out_dir, checkpoint_dir)
 
 
 SESSION_GAP_S = 1800  # inactivity gap, matching the batch sessionize query
@@ -133,7 +138,16 @@ def _update_sessions(
     says so — a processing-time timeout would make emitted rows depend
     on arrival schedule, violating the determinism discipline every
     other operator follows (same answer for any partitioning/epoch
-    split of in-order arrivals)."""
+    split of in-order arrivals).
+
+    Late arrivals (an epoch delivering events older than the carried
+    ``last_s``): merged into the open session with start = min / end =
+    max, so the state invariants (start <= end, exact n) always hold
+    and a mildly-late event lands in the session it belongs to. An
+    event arriving later than the gap horizon of an ALREADY-CLOSED
+    session cannot reopen it — matching Spark's own watermark
+    semantics; exact sessionization of arbitrarily-shuffled history is
+    the batch twin's job (the engine's batch-with-resume stance)."""
     import numpy as np
 
     pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
@@ -160,10 +174,14 @@ def _update_sessions(
             continue  # s == 0 with no continuation rows
         ts_seg = t[mask]
         if s == 0 and last0 is not None:
-            s_start, s_n = int(start0), int(n0) + int(mask.sum())
+            # min/max guards: a late event older than the carried state
+            # merges without ever producing end < start
+            s_start = min(int(start0), int(ts_seg[0]))
+            s_n = int(n0) + int(mask.sum())
+            s_last = max(int(last0), int(ts_seg[-1]))
         else:
             s_start, s_n = int(ts_seg[0]), int(mask.sum())
-        s_last = int(ts_seg[-1])
+            s_last = int(ts_seg[-1])
         closed = s != last_seg
         rows.append((s_start, s_last, s_n, closed))
         if not closed:
@@ -199,26 +217,8 @@ def drain_sessions(
     out_dir: str,
     checkpoint_dir: str,
 ) -> None:
-    """Drain available files through the session operator
-    (overwrite-by-epoch parquet sink, same idempotent-replay scheme as
-    ``drain_running_totals``)."""
-
-    def sink(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        batch.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/epoch={epoch_id}")
-
-    q = (
-        streaming_sessions(spark, input_dir)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain available files through the session operator."""
+    _drain(streaming_sessions(spark, input_dir), out_dir, checkpoint_dir)
 
 
 def final_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
