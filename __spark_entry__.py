@@ -111,8 +111,12 @@ EXPORTED = [
     "ctc_beam_decode",
 ]
 
+# Explicit raise (not assert): the check must survive `python -O`,
+# otherwise a stale EXPORTED name surfaces later as an opaque KeyError
+# inside queries().
 _missing = [n for n in EXPORTED if n not in QUERIES]
-assert not _missing, f"exported names missing from registry: {_missing}"
+if _missing:
+    raise RuntimeError(f"exported names missing from registry: {_missing}")
 
 
 def entry(spark: SparkSession) -> DataFrame:

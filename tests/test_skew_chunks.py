@@ -70,6 +70,36 @@ def test_true_giant_document(spark):
     assert got["lang"] == want["lang"] == "en"
 
 
+def test_lang_expr_matches_kernel_on_ties(spark):
+    """The JVM-side lang pick (``lang_from_counts_expr``) must agree
+    with the Python kernel on EVERY branch boundary — exact ties on
+    de/en and sa/hi majorities and on the 30%-Devanagari threshold are
+    where a reimplementation would drift."""
+    from itertools import product
+
+    from win64_local_ocr_tool_spark.kernels.langid import (
+        COUNT_FIELDS,
+        lang_from_counts,
+    )
+    from win64_local_ocr_tool_spark.operators.extract import (
+        lang_from_counts_expr,
+    )
+
+    cases = []
+    # boundary grid: small counts hit every comparison's ==, <, > side
+    for n_en, n_de, n_hi, n_sa in product(range(3), repeat=4):
+        for n_deva, n_tok in [(0, 0), (0, 5), (3, 10), (2, 10), (4, 10),
+                              (3, 9), (1, 1), (10, 10)]:
+            cases.append((n_en, n_de, n_hi, n_sa, n_deva, n_tok))
+    df = spark.createDataFrame(
+        cases, schema=", ".join(f"{f} long" for f in COUNT_FIELDS)
+    )
+    got = df.select(*COUNT_FIELDS, lang_from_counts_expr().alias("lang")).collect()
+    for r in got:
+        counts = tuple(r[f] for f in COUNT_FIELDS)
+        assert r["lang"] == lang_from_counts(counts), counts
+
+
 def test_dispatch_routes_by_size(spark):
     """extract_all with distributed skew enabled: the union of both
     paths covers every input exactly once."""

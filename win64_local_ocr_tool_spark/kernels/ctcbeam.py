@@ -23,6 +23,14 @@ Semantics (WHAT the reference computes, restated):
   EXACT — pytest verifies equality against a brute-force sum over all
   C^T alignment paths on small lattices.
 
+Deliberate divergence from the reference: its extension loop runs
+``range(maxC - 1)`` with ``blankIdx = 0`` — i.e. it extends prefixes
+with the blank class and never with the LAST class, an off-by-one for
+its own blank=0 convention. This implementation extends over the
+corrected non-blank range ``range(1, C)``; exactness is verified
+against the brute-force all-paths oracle, which the reference's
+indexing would fail.
+
 Blank index 0, matching the reference. Sequential per-document state
 keeps this an in-UDF kernel (SURVEY §2.10): document-local, no
 relational twin — the driver entry is rows-only by contract.

@@ -34,13 +34,21 @@ BEAM_WIDTH = 8
 
 def lattice_from_text(text: str) -> np.ndarray:
     """Deterministic T x C probability lattice from the text bytes:
-    sha256-seeded generator, rows normalized to sum 1. Pure function —
-    byte-identical on any executor."""
+    an iterated-sha256 byte stream (NOT numpy's Generator — bit-stream
+    stability across numpy versions is not guaranteed, so deriving the
+    cells straight from the digest chain keeps the driver rows
+    reproducible under ANY numpy), rows normalized to sum 1. Pure
+    function of the text — byte-identical on any executor/engine."""
     digest = hashlib.sha256(text.encode("utf-8")).digest()
-    seed = int.from_bytes(digest[:8], "big")
-    rng = np.random.default_rng(seed)
-    T = 10 + seed % 7
-    mat = rng.random((T, N_CLASSES)) + 0.05
+    T = 10 + digest[0] % 7
+    need = T * N_CLASSES  # 2 digest bytes -> one lattice cell
+    stream = bytearray()
+    block = digest
+    while len(stream) < 2 * need:
+        block = hashlib.sha256(block).digest()
+        stream.extend(block)
+    cells = np.frombuffer(bytes(stream[: 2 * need]), dtype=">u2")
+    mat = cells.astype(np.float64).reshape(T, N_CLASSES) / 65535.0 + 0.05
     return mat / mat.sum(axis=1, keepdims=True)
 
 

@@ -36,7 +36,7 @@ from ..kernels.assemble import (
 )
 from ..kernels.classify import classify_chunk
 from ..kernels.htmlblocks import Block
-from ..kernels.langid import COUNT_FIELDS, lang_counts, lang_from_counts
+from ..kernels.langid import COUNT_FIELDS, lang_counts
 
 SPAN_STRUCT = "array<struct<span_id:int,char_start:int,char_end:int>>"
 
@@ -228,15 +228,24 @@ def classify_chunk_batches(
         )
 
 
-def _lang_from_counts_udf():
-    # built lazily: pandas_udf parses its DDL against the active session
-    @F.pandas_udf("string")
-    def udf(counts: pd.DataFrame) -> pd.Series:
-        return counts.apply(
-            lambda r: lang_from_counts(tuple(r[f] for f in COUNT_FIELDS)), axis=1
+def lang_from_counts_expr():
+    """JVM-side twin of ``kernels.langid.lang_from_counts`` over the
+    summed COUNT_FIELDS columns — the same integer branching
+    (Devanagari >=30% of tokens -> sa on strict marker majority else
+    hi; Latin -> de on strict majority else en; no tokens -> und),
+    expressed as a Catalyst ``when`` chain so the per-document lang
+    pick never leaves the JVM (this was the last row-at-a-time Python
+    on the execution surface). Counts are exact integers, so the two
+    implementations can never diverge on ties."""
+    n_en, n_de, n_hi, n_sa, n_deva, n_tok = (F.col(f) for f in COUNT_FIELDS)
+    return (
+        F.when(n_tok == 0, F.lit("und"))
+        .when(
+            10 * n_deva >= 3 * n_tok,
+            F.when(n_sa > n_hi, F.lit("sa")).otherwise(F.lit("hi")),
         )
-
-    return udf
+        .otherwise(F.when(n_de > n_en, F.lit("de")).otherwise(F.lit("en")))
+    )
 
 
 def extract_mega(docs: DataFrame, *, chunk_blocks: int = 200) -> DataFrame:
@@ -309,7 +318,7 @@ def extract_mega(docs: DataFrame, *, chunk_blocks: int = 200) -> DataFrame:
         .alias("status"),
         "extracted_text",
         "spans",
-        _lang_from_counts_udf()(F.struct(*COUNT_FIELDS)).alias("lang"),
+        lang_from_counts_expr().alias("lang"),
     )
 
 

@@ -75,7 +75,21 @@ def merge_by_key(
     pipeline code — only the ``target`` string."""
     spark = df.sparkSession
     if iceberg_catalog_for(spark, target):
-        df.writeTo(target).overwritePartitions()
+        try:
+            df.writeTo(target).overwritePartitions()
+        except Exception as exc:
+            # First-ever stage write: the table does not exist yet, so
+            # bootstrap it (partitioned by the stage key). Any other
+            # failure re-raises — only the no-such-table case is the
+            # create path.
+            msg = str(exc)
+            if (
+                "TABLE_OR_VIEW_NOT_FOUND" not in msg
+                and "NoSuchTable" not in msg
+                and "Table or view not found" not in msg
+            ):
+                raise
+            df.writeTo(target).partitionedBy(F.col(key_col)).create()
     else:
         # per-write option: the replace-only-present-partitions contract
         # must not depend on the session having been built by
