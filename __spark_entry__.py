@@ -68,7 +68,7 @@ EXPORTED = [
     "sim_topk_cosine",
     "sim_srp_lsh",
     # --- §2 relational families (SQL-oracled) ---
-    "q1_pricing_summary",
+    "q_tpch_family",  # Q1+Q3+Q5+Q18 folded (round-3 window rotation)
     "a_stats_extents",
     "a_label_vote_distinct",
     "a1_component_avg",

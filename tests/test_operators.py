@@ -24,6 +24,7 @@ from win64_local_ocr_tool_spark.operators.registry import (  # noqa: E402
 # scripts/check_oracle.py
 SAMPLE = [
     "q1_pricing_summary",
+    "q_tpch_family",
     "f7_skew_split",
     "j1_range_join",
     "j5_semi_anti_resume",

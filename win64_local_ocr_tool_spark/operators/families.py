@@ -515,6 +515,123 @@ def j5_semi_anti_resume(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H query fold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_family",
+    f"""
+    SELECT 'q1' AS part, l_returnflag AS grp_a, l_linestatus AS grp_b,
+           CAST(NULL AS BIGINT) AS key_a, CAST(NULL AS BIGINT) AS key_b,
+           CAST(NULL AS TIMESTAMP) AS order_ts,
+           CAST(NULL AS BIGINT) AS revenue_cents,
+           CAST(NULL AS BIGINT) AS qty_sum,
+           CAST(NULL AS DOUBLE) AS total_price,
+           sum_qty, sum_base_price, sum_disc_price, avg_qty, avg_price,
+           count_order
+    FROM ({ORACLES["q1_pricing_summary"]})
+    UNION ALL
+    SELECT 'q3', o_orderpriority, CAST(NULL AS VARCHAR),
+           l_orderkey, CAST(NULL AS BIGINT), o_orderdate,
+           revenue_cents, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ({ORACLES["q3_shipping_priority"]})
+    UNION ALL
+    SELECT 'q5', n_name, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS TIMESTAMP),
+           revenue_cents, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ({ORACLES["q5_local_supplier_volume"]})
+    UNION ALL
+    SELECT 'q18', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           o_orderkey, c_custkey, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS BIGINT), qty_sum, total_price,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ({ORACLES["q18_large_volume_order"]})
+    """,
+)
+def q_tpch_family(spark, sf_dir):
+    """TPC-H bonus queries Q1 + Q3 + Q5 + Q18 folded into one
+    part-tagged entry — the round-2 verdict's window-rotation proof:
+    the 50-slot oracled window was exactly full, and this fold grows
+    checked coverage by three queries (Q3/Q5/Q18 were internal-only)
+    while occupying the single slot Q1 already held, evicting nothing.
+    Components: relational.q1_pricing_summary / q3_shipping_priority /
+    q5_local_supplier_volume / q18_large_volume_order (each stays in
+    the internal registry for plan gates and bench)."""
+    q1 = relational.q1_pricing_summary(spark, sf_dir)
+    q3 = relational.q3_shipping_priority(spark, sf_dir)
+    q5 = relational.q5_local_supplier_volume(spark, sf_dir)
+    q18 = relational.q18_large_volume_order(spark, sf_dir)
+    measures_null = [
+        _nul("double").alias(c)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price",
+                  "avg_qty", "avg_price")
+    ]
+    p1 = q1.select(
+        F.lit("q1").alias("part"),
+        F.col("l_returnflag").alias("grp_a"),
+        F.col("l_linestatus").alias("grp_b"),
+        _nul("long").alias("key_a"),
+        _nul("long").alias("key_b"),
+        _nul("timestamp").alias("order_ts"),
+        _nul("long").alias("revenue_cents"),
+        _nul("long").alias("qty_sum"),
+        _nul("double").alias("total_price"),
+        "sum_qty", "sum_base_price", "sum_disc_price",
+        "avg_qty", "avg_price", "count_order",
+    )
+    p3 = q3.select(
+        F.lit("q3").alias("part"),
+        F.col("o_orderpriority").alias("grp_a"),
+        _nul("string").alias("grp_b"),
+        F.col("l_orderkey").alias("key_a"),
+        _nul("long").alias("key_b"),
+        F.col("o_orderdate").alias("order_ts"),
+        "revenue_cents",
+        _nul("long").alias("qty_sum"),
+        _nul("double").alias("total_price"),
+        *measures_null,
+        _nul("long").alias("count_order"),
+    )
+    p5 = q5.select(
+        F.lit("q5").alias("part"),
+        F.col("n_name").alias("grp_a"),
+        _nul("string").alias("grp_b"),
+        _nul("long").alias("key_a"),
+        _nul("long").alias("key_b"),
+        _nul("timestamp").alias("order_ts"),
+        "revenue_cents",
+        _nul("long").alias("qty_sum"),
+        _nul("double").alias("total_price"),
+        *measures_null,
+        _nul("long").alias("count_order"),
+    )
+    p18 = q18.select(
+        F.lit("q18").alias("part"),
+        _nul("string").alias("grp_a"),
+        _nul("string").alias("grp_b"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("c_custkey").alias("key_b"),
+        _nul("timestamp").alias("order_ts"),
+        _nul("long").alias("revenue_cents"),
+        "qty_sum",
+        "total_price",
+        *measures_null,
+        _nul("long").alias("count_order"),
+    )
+    return p1.unionByName(p3).unionByName(p5).unionByName(p18)
+
+
+# ---------------------------------------------------------------------------
 # U-family fold
 # ---------------------------------------------------------------------------
 
