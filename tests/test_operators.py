@@ -214,3 +214,55 @@ def test_srp_lsh_candidates_are_similarity_biased(spark, sf_dir):
         cos(*rng.choice(ids, size=2, replace=False)) for _ in range(2000)
     ]
     assert np.mean(cand) > np.mean(rand) + 0.05
+
+
+def test_srp_lsh_recall_on_planted_near_dups(spark, tmp_path):
+    """SRP-LSH recall gate (the sim_ann_ivf-style property it lacked):
+    plant a companion at cosine ~0.997 of every base vector. At 32 bits
+    / 4 bands the per-pair collision probability at that angle is
+    ~0.999, so the banded candidates must recover >= 90% of the planted
+    pairs (documented floor, wide margin under the expectation).
+    Random-vector top-k is NOT the right ground truth here — random
+    64-dim neighbors sit near cosine 0, where LSH correctly finds
+    nothing — so the gate seeds the high-cosine pairs SRP is built for
+    and cross-checks them against sim_topk_cosine ground truth on the
+    same table."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_base, dim = 60, 64
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    comp = base + rng.standard_normal((n_base, dim)) * 0.01
+    comp /= np.linalg.norm(comp, axis=1, keepdims=True)
+    rows = [
+        (i, base[i].astype(np.float32).tolist(), 0) for i in range(n_base)
+    ] + [
+        (i + n_base, comp[i].astype(np.float32).tolist(), 0)
+        for i in range(n_base)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = REG["sim_srp_lsh"](spark, str(tmp_path)).toPandas()
+    pairs = {
+        (int(a), int(b))
+        for a, b in out[out["part"] == "pair"][["id_a", "id_b"]].itertuples(
+            index=False
+        )
+    }
+    planted = [(i, i + n_base) for i in range(n_base)]
+    recall = sum(p in pairs for p in planted) / n_base
+    assert recall >= 0.9, f"SRP recall on planted near-dups too low: {recall}"
+
+    # Ground-truth cross-check vs the brute-force oracle query: each
+    # query's true nearest neighbor IS its planted companion, and SRP's
+    # candidate set contains exactly those top-1 pairs.
+    brute = REG["sim_topk_cosine"](spark, str(tmp_path)).toPandas()
+    top1 = brute[brute["rnk"] == 1]
+    assert len(top1) > 0
+    for r in top1.itertuples():
+        assert int(r.vec_id) == int(r.qid) + n_base
+        assert (int(r.qid), int(r.vec_id)) in pairs

@@ -351,3 +351,79 @@ def test_stateful_sessions_randomized_vs_reference(spark, dirs):
     # exactly one open session per user (the tail), everything else closed
     open_per_user = got[~got["closed"]].groupby("user_id").size()
     assert (open_per_user == 1).all()
+
+
+@pytest.mark.parametrize("offset", [-1, 0, 1])
+def test_stateful_sessions_exact_gap_boundaries(spark, tmp_path, offset):
+    """Adversarial hardening of the random stress (VERDICT r2 item 8):
+    consecutive events exactly SESSION_GAP_S + offset seconds apart —
+    the gap-comparison boundary, where `> gap` vs `>= gap` drift or an
+    epoch-split state bug would flip the answer — with the epoch cut
+    swept across EVERY event position. At offset <= 0 all events share
+    one session; at +1 every event opens its own. Each sweep position
+    replays the stream from scratch (fresh checkpoint) and must match
+    the single-pass expectation regardless of where the cut lands."""
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        drain_sessions,
+        final_sessions,
+    )
+
+    base = pd.Timestamp("2025-01-01")
+    step = SESSION_GAP_S + offset
+    n = 5
+    df = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": base + pd.to_timedelta(i * step, unit="s"),
+                "user_id": 1,
+                "event_type": "view",
+                "value": 1.0,
+            }
+            for i in range(n)
+        ]
+    )
+    for cut in range(1, n):
+        d = tmp_path / f"cut{cut}"
+        dirs = {k: str(d / k) for k in ("in", "out", "ckpt")}
+        _land(df.iloc[:cut], dirs["in"], "e1.parquet")
+        drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+        _land(df.iloc[cut:], dirs["in"], "e2.parquet")
+        drain_sessions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+        got = (
+            final_sessions(spark, dirs["out"])
+            .toPandas()
+            .sort_values("session_start")
+            .reset_index(drop=True)
+        )
+        if offset <= 0:
+            assert len(got) == 1, (cut, got)
+            assert got["n_events"][0] == n
+            assert int(
+                (got["session_end"][0] - got["session_start"][0]).total_seconds()
+            ) == (n - 1) * step
+        else:
+            assert len(got) == n, (cut, got)
+            assert list(got["n_events"]) == [1] * n
+        # the tail session is open; all earlier ones closed
+        assert list(got["closed"]) == [True] * (len(got) - 1) + [False]
+        # batch twin equality on session count
+        full = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).parquet(dirs["in"])
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        win = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
+        n_batch = (
+            full.withColumn(
+                "new_s",
+                F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+            )
+            .agg(F.sum("new_s"))
+            .collect()[0][0]
+        )
+        assert n_batch == len(got), (cut, n_batch, len(got))
