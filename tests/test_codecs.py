@@ -197,3 +197,158 @@ def test_png_decode_refuses_oversize_images(spark):
     )
     row = media_resize(df, 8, 8).collect()[0]
     assert row["status"] == "error"
+
+
+# ---------------------------------------------------------------------------
+# baseline-JPEG codec (kernels/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+from win64_local_ocr_tool_spark.kernels.jpegcodec import (  # noqa: E402
+    JPEG_MAGIC,
+    MAX_DECODE_PIXELS as JPEG_MAX_DECODE_PIXELS,
+    decode_jpeg,
+    encode_jpeg,
+    parse_jpeg_header,
+)
+
+
+def _smooth_img(h, w, c, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [((xx * 2 + yy * 3 + seed + k * 37) // 4) % 200 + 20
+         for k in range(c)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """Flat blocks have only a DC coefficient — the lossy pipeline
+    must reproduce them EXACTLY (any drift means broken level shift,
+    quant, or IDCT)."""
+    for val, c in [(128, 1), (0, 1), (255, 1), (200, 3), (7, 3)]:
+        img = np.full((16, 24, c), val, np.uint8)
+        payload = encode_jpeg(img, quality=85)
+        assert payload[:3] == JPEG_MAGIC
+        assert parse_jpeg_header(payload) == (24, 16, c)
+        out = decode_jpeg(payload)
+        assert out.shape == (16, 24, c)
+        assert (out == img).all(), (val, c)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_jpeg_smooth_roundtrip_bounded_error(channels):
+    img = _smooth_img(40, 56, channels, seed=3)
+    payload = encode_jpeg(img, quality=90)
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8, err.max()
+
+
+def test_jpeg_420_subsampling_and_odd_dims():
+    """4:2:0 exercises the decoder's 2x2 sampling-factor path; odd
+    dimensions exercise MCU padding + crop on both sides."""
+    img = _smooth_img(37, 53, 3, seed=5)
+    payload = encode_jpeg(img, quality=85, subsample=True)
+    assert parse_jpeg_header(payload) == (53, 37, 3)
+    out = decode_jpeg(payload)
+    assert out.shape == (37, 53, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 16, err.max()
+
+
+def test_jpeg_restart_markers_change_nothing():
+    """DRI/RSTn is a resilience feature — decoded pixels must be
+    IDENTICAL with and without restart intervals (same coefficients,
+    same IDCT)."""
+    img = _smooth_img(32, 48, 3, seed=9)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    for ri in (1, 2, 5):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=85, restart_interval=ri)
+        )
+        assert (with_rst == plain).all(), ri
+    # and combined with subsampling
+    a = decode_jpeg(encode_jpeg(img, quality=80, subsample=True))
+    b = decode_jpeg(
+        encode_jpeg(img, quality=80, subsample=True, restart_interval=3)
+    )
+    assert (a == b).all()
+
+
+def test_jpeg_decode_deterministic():
+    img = _smooth_img(24, 40, 3, seed=11)
+    payload = encode_jpeg(img, quality=75, subsample=True)
+    assert payload == encode_jpeg(img, quality=75, subsample=True)
+    assert (decode_jpeg(payload) == decode_jpeg(payload)).all()
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    """Valid-but-unsupported profiles -> NotImplementedError (surfaces
+    as no_codec); malformed payloads -> ValueError (error rows)."""
+    good = bytearray(encode_jpeg(_smooth_img(16, 16, 1)))
+    i = good.find(b"\xff\xc0")
+    for sof2 in (0xC2, 0xC3, 0xC9, 0xCB):  # progressive/lossless/arith
+        bad = bytearray(good)
+        bad[i + 1] = sof2
+        with pytest.raises(NotImplementedError):
+            parse_jpeg_header(bytes(bad))
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(bad))
+    # 12-bit precision
+    bad = bytearray(good)
+    bad[i + 4] = 12
+    with pytest.raises(NotImplementedError):
+        parse_jpeg_header(bytes(bad))
+    # malformed: magic then garbage / truncated segment / bare SOI
+    for junk in (
+        b"\xff\xd8\xff" + b"\x00" * 64,
+        b"\xff\xd8\xff\xdb\x00\x03\x01",
+        b"\xff\xd8",
+    ):
+        with pytest.raises(ValueError):
+            parse_jpeg_header(junk)
+    # truncated entropy data -> ValueError, never a hang or wrong array
+    full = encode_jpeg(_smooth_img(32, 32, 3, seed=2), quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: len(full) // 2])
+
+
+def test_jpeg_decode_refuses_oversize_images():
+    """Header-valid multi-megapixel JPEG must raise (bounded entropy
+    loop) while header-only metadata parsing still works."""
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    struct.pack_into(">HH", payload, i + 5, 2000, 2000)
+    assert 2000 * 2000 > JPEG_MAX_DECODE_PIXELS
+    assert parse_jpeg_header(bytes(payload)) == (2000, 2000, 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+
+
+def test_media_pipeline_on_real_jpeg(spark):
+    """media_metadata + media_resize run the REAL JPEG path end-to-end:
+    ok rows, correct dims, JPEG-out payload that decodes to the target
+    size."""
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_metadata,
+        media_resize,
+        render_jpeg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, render_jpeg(64, 40, 3, seed=6)),   # 4:2:0 (even seed)
+         (2, render_jpeg(72, 32, 1, seed=9)),   # gray + DRI (seed%3==0)
+         (3, render_jpeg(80, 48, 3, seed=7))],  # 4:4:4
+        schema="media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert all(meta[k]["status"] == "ok" for k in (1, 2, 3))
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) \
+        == (64, 40, 3)
+    assert meta[2]["n_channels"] == 1
+    rez = {r["media_id"]: r for r in media_resize(df, 20, 12).collect()}
+    for k in (1, 2, 3):
+        assert rez[k]["status"] == "ok"
+        out = decode_jpeg(bytes(rez[k]["payload"]))
+        assert out.shape[:2] == (12, 20)

@@ -40,13 +40,25 @@ def test_media_metadata(spark):
 
 
 def test_media_metadata_no_codec_status(spark):
-    """Containers without a decoder (JPEG) surface status=no_codec —
-    the stub boundary is explicit, not a silent wrong answer; a
-    malformed PNG is an error row, never a task failure."""
+    """Profiles without a decoder (progressive JPEG) surface
+    status=no_codec — the codec boundary is explicit, not a silent
+    wrong answer; malformed payloads are error rows, never task
+    failures; baseline JPEG now decodes for real."""
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.kernels.jpegcodec import encode_jpeg
+    from win64_local_ocr_tool_spark.operators.multimodal import render_jpeg
+
+    baseline = encode_jpeg(np.full((16, 24, 3), 90, np.uint8))
+    progressive = bytearray(baseline)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive frame)
     df = spark.createDataFrame(
         [
-            (1, b"\xff\xd8\xff" + b"\x00" * 64),           # jpeg: stubbed
+            (1, bytes(progressive)),                       # needs real codec
             (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),      # malformed png
+            (3, b"\xff\xd8\xff" + b"\x00" * 64),           # malformed jpeg
+            (4, render_jpeg(32, 16, 3, seed=7)),           # baseline: real
         ],
         schema="media_id long, payload binary",
     )
@@ -55,6 +67,10 @@ def test_media_metadata_no_codec_status(spark):
     assert rows[1]["status"] == "no_codec"
     assert rows[2]["container"] == "png"
     assert rows[2]["status"] == "error"
+    assert rows[3]["status"] == "error"
+    assert (rows[4]["status"], rows[4]["kind"]) == ("ok", "image")
+    assert (rows[4]["width"], rows[4]["height"], rows[4]["n_channels"]) \
+        == (32, 16, 3)
 
 
 def test_media_features_deterministic_across_partitioning(spark):
@@ -97,12 +113,19 @@ def test_media_resize_dims_and_determinism(spark):
         containers.add(cont)
         if cont == "simg":
             w, h, _c = _parse_simg_header(bytes(p))
+        elif cont == "jpeg":
+            from win64_local_ocr_tool_spark.kernels.jpegcodec import (
+                decode_jpeg,
+            )
+
+            img = decode_jpeg(bytes(p))
+            h, w = img.shape[:2]
         else:
             img = decode_png(bytes(p))
             h, w = img.shape[:2]
         assert (w, h) == (32, 24)
-    # the fixture mixes real PNG rows in — both emit paths must appear
-    assert containers == {"simg", "png"}
+    # the fixture mixes real PNG + JPEG rows in — all emit paths appear
+    assert containers == {"simg", "png", "jpeg"}
     # audio + garbage rows -> error, never crash
     assert set(out["status"]) <= {"ok", "error", "no_codec"}
     again = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()

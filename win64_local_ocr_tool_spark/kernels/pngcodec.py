@@ -8,9 +8,9 @@ for the overwhelmingly common case: 8-bit, non-interlaced,
 gray / gray+alpha / RGB / RGBA (reference analog: the image loads in
 ``backend/annotator/segmentation/utils.py:7-14``). Unsupported
 variants (16-bit, palette, interlaced) raise ``ValueError`` and
-surface as row-level ``error`` status, never task failures. JPEG
-remains the documented stub (a baseline-JPEG entropy decoder is not a
-sandbox-sized project).
+surface as row-level ``error`` status, never task failures. Baseline
+JPEG decodes for real too (``kernels/jpegcodec.py``); only
+non-baseline JPEG profiles remain behind the ``no_codec`` boundary.
 
 The encoder (filter 0, one IDAT) lets ``media_resize`` emit real PNG
 output and gives tests round-trip fixtures without any external

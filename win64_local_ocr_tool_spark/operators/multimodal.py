@@ -2,15 +2,18 @@
 
 The reference's core loop IS a multimodal pipeline (image in -> text
 out); this module generalizes the plumbing to image/audio/video columns
-for a training-data pipeline, per the task brief. PNG and PCM WAV
-decode FOR REAL via stdlib-only codecs (``kernels/pngcodec.py`` zlib
-baseline profile, ``kernels/wavcodec.py`` via ``wave``); JPEG is the
-one remaining documented stub (no entropy-decoder library in this
-container — a real deployment swaps the ``_decode_image`` /
-``_decode_audio`` internals for PIL/ffmpeg). Everything Spark-side is
-real and tested: schemas, metadata sniffing, Arrow batch shapes,
-partitioning, and the iterator-UDF init pattern (one-time heavy init
-per executor, reference ``segment_graph.py:73-76``).
+for a training-data pipeline, per the task brief. PNG, baseline JPEG
+and PCM WAV decode FOR REAL via stdlib-only codecs
+(``kernels/pngcodec.py`` zlib baseline profile,
+``kernels/jpegcodec.py`` huffman + numpy IDCT,
+``kernels/wavcodec.py`` via ``wave``); non-baseline JPEG
+(progressive/arithmetic/12-bit) and compressed audio remain the
+documented ``no_codec`` boundary (a real deployment swaps the
+``_decode_image`` / ``_decode_audio`` internals for PIL/ffmpeg).
+Everything Spark-side is real and tested: schemas, metadata sniffing,
+Arrow batch shapes, partitioning, and the iterator-UDF init pattern
+(one-time heavy init per executor, reference
+``segment_graph.py:73-76``).
 
 Payload containers are sniffed from magic bytes (PNG/JPEG/WAV here,
 plus the reference-style fake used by the synthetic corpus), never from
@@ -79,6 +82,26 @@ def render_png(width: int, height: int, channels: int, seed: int) -> bytes:
     return encode_png(img.reshape(height, width, channels))
 
 
+def render_jpeg(width: int, height: int, channels: int, seed: int) -> bytes:
+    """REAL deterministic baseline-JPEG fixture (encoded by
+    kernels/jpegcodec) — a smooth seeded gradient so the file stays
+    small and the lossy round-trip error stays pinned-low."""
+    import numpy as np
+
+    from ..kernels.jpegcodec import encode_jpeg
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [((xx * 2 + yy * 3 + seed * 13 + c * 37) // 4) % 200 + 20
+         for c in range(channels)],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg(
+        img, quality=85, subsample=(channels == 3 and seed % 2 == 0),
+        restart_interval=(4 if seed % 3 == 0 else 0),
+    )
+
+
 def render_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
     """REAL deterministic PCM WAV fixture (encoded by kernels/wavcodec)."""
     import numpy as np
@@ -139,31 +162,40 @@ def _parse_saud_header(payload: bytes):
 def _decode_image(payload: bytes, container: str):
     """(width, height, channels) — header-only, body untouched.
 
-    PNG decodes FOR REAL via the stdlib-zlib codec
-    (``kernels/pngcodec.py``; reference image loads
-    ``segmentation/utils.py:7-14``); the synthetic container parses its
-    fixture header. JPEG is the one remaining stub (baseline-JPEG
-    entropy decode needs a real codec library — swap in PIL/opencv)."""
+    PNG and baseline JPEG decode FOR REAL via the stdlib codecs
+    (``kernels/pngcodec.py``, ``kernels/jpegcodec.py``; reference image
+    loads ``segmentation/utils.py:7-14``); the synthetic container
+    parses its fixture header. Non-baseline JPEG raises
+    NotImplementedError inside the kernel (-> status='no_codec')."""
     if container == "simg":
         return _parse_simg_header(payload)
     if container == "png":
         from ..kernels.pngcodec import parse_png_header
 
         return parse_png_header(payload)
+    if container == "jpeg":
+        from ..kernels.jpegcodec import parse_jpeg_header
+
+        return parse_jpeg_header(payload)
     raise NotImplementedError(
         f"no {container} codec in this environment; swap in PIL/opencv"
     )
 
 
 def _decode_image_pixels(payload: bytes, container: str):
-    """Full pixel decode -> HxWxC uint8 numpy array (PNG + synthetic;
-    JPEG raises NotImplementedError and surfaces as status='no_codec')."""
+    """Full pixel decode -> HxWxC uint8 numpy array (PNG, baseline
+    JPEG, synthetic; non-baseline JPEG raises NotImplementedError and
+    surfaces as status='no_codec')."""
     import numpy as np
 
     if container == "png":
         from ..kernels.pngcodec import decode_png
 
         return decode_png(payload)
+    if container == "jpeg":
+        from ..kernels.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     if container == "simg":
         w, h, c = _parse_simg_header(payload)
         stored = np.frombuffer(payload[14:], dtype=np.uint8)
@@ -301,11 +333,12 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """(media_id, payload) -> nearest-neighbor resized image payload.
 
     The resize kernel is a real numpy coordinate remap over REAL pixel
-    decode: PNG via the stdlib-zlib codec (emits PNG back), the
+    decode: PNG via the stdlib-zlib codec (emits PNG back), baseline
+    JPEG via the stdlib huffman+IDCT codec (emits JPEG back), the
     synthetic container via its fixture parser (emits %SIMG back).
-    JPEG (the remaining codec stub) yields status='no_codec' rows, not
-    failures. Narrow map, zero shuffle; the Arrow batch bound keeps
-    multi-MB payload batches inside worker memory (SURVEY P8)."""
+    Non-baseline JPEG yields status='no_codec' rows, not failures.
+    Narrow map, zero shuffle; the Arrow batch bound keeps multi-MB
+    payload batches inside worker memory (SURVEY P8)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -319,10 +352,8 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     "media_id": int(mid), "width": target_w,
                     "height": target_h, "payload": None, "status": "ok",
                 }
-                if container not in ("simg", "png"):
-                    row["status"] = (
-                        "no_codec" if container == "jpeg" else "error"
-                    )
+                if container not in ("simg", "png", "jpeg"):
+                    row["status"] = "error"
                     rows.append(row)
                     continue
                 try:
@@ -338,12 +369,18 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         from ..kernels.pngcodec import encode_png
 
                         row["payload"] = encode_png(out)
+                    elif container == "jpeg":
+                        from ..kernels.jpegcodec import encode_jpeg
+
+                        row["payload"] = encode_jpeg(out, quality=90)
                     else:
                         seed = struct.unpack_from("<I", payload, 10)[0]
                         head = b"%SIMG" + struct.pack(
                             "<HHBI", target_w, target_h, c, seed
                         )
                         row["payload"] = head + out.tobytes()[:4096]
+                except NotImplementedError:
+                    row["status"] = "no_codec"
                 except Exception:
                     row["status"] = "error"
                 rows.append(row)
@@ -483,6 +520,12 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                     # real PCM WAV rows
                     payload = render_wav(
                         8000 + (i % 3) * 8000, 500 + i, seed + i
+                    )
+                elif i % 19 == 4:
+                    # real baseline-JPEG rows (stdlib huffman+IDCT codec)
+                    payload = render_jpeg(
+                        64 + (i % 6) * 8, 32 + (i % 4) * 8,
+                        3 if i % 2 else 1, seed + i,
                     )
                 elif i % 7 == 3:
                     payload = render_saud(8000 + (i % 4) * 8000, 1000 + i, seed + i)
