@@ -179,3 +179,60 @@ def test_iceberg_capability_check(spark):
         assert iceberg_catalog_for(spark, "lake.db.docs") == "lake"
     finally:
         spark.conf.unset("spark.sql.catalog.lake")
+
+
+def test_iceberg_twin_unavailable_in_sandbox():
+    """Living probe for VERDICT r2 item 4: the Iceberg MERGE twin
+    cannot go live in this sandbox — no iceberg/delta jars ship with
+    pyspark, no delta-spark package, no network to fetch the runtime.
+    If this test ever FAILS, the environment gained the jars and
+    merge_by_key's catalog branch should get a real end-to-end twin
+    test (path vs catalog produce identical tables)."""
+    import glob
+    import importlib.util
+    import os
+    import socket
+
+    import pyspark
+
+    jars = glob.glob(os.path.join(os.path.dirname(pyspark.__file__),
+                                  "jars", "*.jar"))
+    catalog_jars = [j for j in jars
+                    if "iceberg" in j.lower() or "delta" in j.lower()]
+    assert catalog_jars == [], (
+        f"catalog jars appeared ({catalog_jars}) — write the live "
+        "Iceberg twin test now"
+    )
+    assert importlib.util.find_spec("delta") is None
+    try:
+        socket.create_connection(("repo1.maven.org", 443), timeout=3)
+        reachable = True
+    except OSError:
+        reachable = False
+    assert not reachable, (
+        "Maven Central is reachable — spark.jars.packages can fetch "
+        "the Iceberg runtime; write the live twin test now"
+    )
+
+
+def test_bootstrap_error_classification():
+    """Only the no-such-table family may route to the create path;
+    anything else (permissions, schema mismatch, network) must
+    re-raise from merge_by_key's Iceberg branch."""
+    from win64_local_ocr_tool_spark.staged import _is_missing_table_error
+
+    missing = [
+        Exception("[TABLE_OR_VIEW_NOT_FOUND] The table `lake`.`db`.`t`"),
+        Exception("org.apache.iceberg.exceptions.NoSuchTableException: x"),
+        Exception("Table or view not found: lake.db.t"),
+    ]
+    for exc in missing:
+        assert _is_missing_table_error(exc), exc
+    other = [
+        Exception("Access Denied: insufficient privileges"),
+        Exception("[INCOMPATIBLE_DATA_FOR_TABLE] cannot write"),
+        Exception("connection refused"),
+        Exception(""),
+    ]
+    for exc in other:
+        assert not _is_missing_table_error(exc), exc

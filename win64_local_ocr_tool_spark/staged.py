@@ -53,6 +53,29 @@ def iceberg_catalog_for(spark: SparkSession, target: str) -> str | None:
     return cat if impl and "iceberg" in impl.lower() else None
 
 
+def _is_missing_table_error(exc: Exception) -> bool:
+    """True iff ``exc`` is the Iceberg/Spark "table does not exist yet"
+    class — the only failure the first-write bootstrap may swallow.
+    Covers Spark 3.x/4.x error-class strings and the Iceberg
+    NoSuchTableException family; everything else must re-raise."""
+    msg = str(exc)
+    return (
+        "TABLE_OR_VIEW_NOT_FOUND" in msg
+        or "NoSuchTable" in msg
+        or "Table or view not found" in msg
+    )
+
+
+# Sandbox probe result (round 3, living twin: tests/test_staged.py::
+# test_iceberg_twin_unavailable_in_sandbox): pyspark ships 286 jars,
+# none iceberg/delta; no delta-spark package; Maven Central is
+# unreachable (no network), so spark.jars.packages cannot fetch the
+# runtime. The Iceberg branch below therefore cannot go live here —
+# it is exercised up to the capability gate + bootstrap classification,
+# and a real deployment turns it on by configuring
+# spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog.
+
+
 def merge_by_key(
     df: DataFrame, target: str, key_col: str = "partition_key"
 ) -> None:
@@ -82,12 +105,7 @@ def merge_by_key(
             # bootstrap it (partitioned by the stage key). Any other
             # failure re-raises — only the no-such-table case is the
             # create path.
-            msg = str(exc)
-            if (
-                "TABLE_OR_VIEW_NOT_FOUND" not in msg
-                and "NoSuchTable" not in msg
-                and "Table or view not found" not in msg
-            ):
+            if not _is_missing_table_error(exc):
                 raise
             df.writeTo(target).partitionedBy(F.col(key_col)).create()
     else:
