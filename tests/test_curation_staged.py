@@ -1,0 +1,133 @@
+"""Staged curation runner (pipeline.run_curation_staged): each stage
+materializes parquet + a lineage row; the chain composes the SAME
+operator bodies the registry oracles pin (sig banding, CC rounds,
+scrub, quality gate), so this suite checks the staging glue — stage
+completeness, kill-list routing, determinism — not the operators."""
+
+import duckdb
+import pytest
+
+from win64_local_ocr_tool_spark.pipeline import run_curation_staged
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("curation")
+    # benchmark table: the exact text of two corpus docs -> those docs
+    # are contaminated by construction (every 13-gram overlaps)
+    bench_dir = root / "bench"
+    bench_dir.mkdir()
+    duckdb.sql(f"""
+        COPY (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM '{SF}/documents.parquet'
+          WHERE doc_id IN (7, 11) AND len(string_split(text,' ')) >= 13
+        ) TO '{bench_dir}/documents.parquet' (FORMAT PARQUET)
+    """)
+    n_bench = duckdb.sql(
+        f"SELECT count(*) FROM '{bench_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert n_bench >= 1
+    stats = run_curation_staged(
+        spark,
+        SF,
+        str(root / "work"),
+        benchmark_dir=str(bench_dir),
+        lineage_dir=str(root / "lineage"),
+    )
+    return root, stats
+
+
+def test_all_stages_materialize_with_lineage(spark, staged):
+    root, stats = staged
+    expect = {
+        "minhash_sig", "lsh_pairs", "components", "canonical",
+        "decontaminate", "scrub", "final_corpus",
+    }
+    assert set(stats["stages"]) == expect
+    assert all(s["wall_ms"] >= 0 for s in stats["stages"].values())
+    lin = spark.read.parquet(str(root / "lineage"))
+    rows = {r["stage"]: r for r in lin.collect()}
+    assert set(rows) == {f"curate_{s}" for s in expect}
+    for name in expect:
+        assert rows[f"curate_{name}"]["n_rows"] == stats["stages"][name]["rows"]
+        assert rows[f"curate_{name}"]["status"] == "done"
+    assert stats["n_corpus"] == stats["stages"]["final_corpus"]["rows"]
+    assert 0 < stats["n_corpus"] < 500
+
+
+def test_kill_lists_are_enforced(spark, staged):
+    root, stats = staged
+    work = str(root / "work")
+    final_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/corpus").select("doc_id").collect()
+    }
+    # non-canonical near-dup members excluded (canonical stage)
+    comp = spark.read.parquet(f"{work}/components")
+    drops = {
+        r["doc_id"]
+        for r in comp.filter("doc_id <> component").collect()
+    }
+    assert drops, "sf0.001 plants near-dup clusters; none found"
+    assert not (final_ids & drops)
+    canon_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{work}/canonical/documents.parquet"
+        ).select("doc_id").collect()
+    }
+    assert not (canon_ids & drops) and final_ids <= canon_ids
+    # contaminated docs excluded; the planted exact-overlap docs (7, 11)
+    # are out of the final corpus whichever gate got them first (decon
+    # runs after dedup, so a planted doc that is also a non-canonical
+    # near-dup is dropped upstream of the contamination check)
+    cont = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/contaminated").collect()
+    }
+    assert not (final_ids & cont)
+    planted = {7, 11} & canon_ids
+    assert planted <= cont, "planted benchmark overlap not detected"
+    assert not (final_ids & {7, 11})
+
+
+def test_final_text_is_scrubbed_and_gated(spark, staged):
+    root, _stats = staged
+    work = str(root / "work")
+    final = spark.read.parquet(f"{work}/corpus").toPandas()
+    scrub = (
+        spark.read.parquet(f"{work}/scrubbed")
+        .select("doc_id", "cleaned")
+        .toPandas()
+        .set_index("doc_id")["cleaned"]
+    )
+    assert len(final) > 0
+    for _, row in final.iterrows():
+        assert row["text"] == scrub[row["doc_id"]]  # scrubbed text ships
+        assert row["n_words"] >= 20
+        assert len(row["text"]) >= 100
+
+
+def test_staged_rerun_is_deterministic(spark, staged, tmp_path):
+    root, stats = staged
+    again = run_curation_staged(
+        spark, SF, str(tmp_path / "work2"),
+        benchmark_dir=str(root / "bench"),
+    )
+    assert {k: v["rows"] for k, v in again["stages"].items()} == {
+        k: v["rows"] for k, v in stats["stages"].items()
+    }
+    a = (
+        spark.read.parquet(str(tmp_path / "work2" / "corpus"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    b = (
+        spark.read.parquet(str(root / "work" / "corpus"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert a.equals(b)

@@ -234,7 +234,14 @@ def dedup_lsh_pairs(spark, sf_dir):
     the self-join's two sides share one materialization — the same
     "write the band table, then join it to itself" staging a 100 TB
     dedup run does."""
-    sig = dedup_minhash_sig(spark, sf_dir)
+    return _pairs_from_sig(dedup_minhash_sig(spark, sf_dir))
+
+
+def _pairs_from_sig(sig):
+    """LSH banding + bucket self-join over a signature table — the
+    compute body of ``dedup_lsh_pairs``, factored so the staged
+    curation runner (pipeline.run_curation_staged) can feed it a
+    MATERIALIZED signature parquet instead of recomputing shingles."""
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = []
     for b in range(LSH_BANDS):
@@ -583,7 +590,15 @@ def dedup_components(spark, sf_dir):
     # is the "repartition the contracted graph" step a 10^12-doc CC run
     # performs between rounds; the count is exact, so the result is
     # unaffected.
-    pairs = dedup_lsh_pairs(spark, sf_dir).localCheckpoint()
+    return _cc_from_pairs(dedup_lsh_pairs(spark, sf_dir))
+
+
+def _cc_from_pairs(pairs_df):
+    """Iterative min-label propagation over a candidate-pair edge list —
+    the compute body of ``dedup_components``, factored so the staged
+    curation runner can feed it a MATERIALIZED pairs parquet. All the
+    scale clauses documented on ``dedup_components`` live here."""
+    pairs = pairs_df.localCheckpoint()
     n_part = max(2, min(512, 2 * pairs.count() // 500_000 + 1))
     edges = (
         pairs.union(
