@@ -97,7 +97,7 @@ EXPORTED = [
     "o8_global_topk",
     "u1_undirected_pair_dedup",
     "u3_union_concat",
-    "u4_dbscan_closure",
+    "g_graph_family",
     "c_scalar_math",
     "c_json_roundtrip",
     "c2_collapse_runs",
@@ -107,7 +107,6 @@ EXPORTED = [
     "a10_approx_distinct",
     "extract_stages",
     "media_pipeline",
-    "o6_mst_kruskal",
     "ctc_beam_decode",
 ]
 

@@ -98,10 +98,10 @@ def test_dbscan_core_semantics(sf_dir):
 def test_spark_kernels_match_local(spark, sf_dir):
     """The distributed applyInPandas result equals the per-group local
     kernel run — partitioning does not change the answer."""
-    import __spark_entry__ as entry
+    from win64_local_ocr_tool_spark.operators.registry import QUERIES
 
     got = (
-        entry.queries()["o6_mst_kruskal"](spark, sf_dir)
+        QUERIES["o6_mst_kruskal"](spark, sf_dir)
         .toPandas()
         .sort_values(["component", "src", "dst"])
         .reset_index(drop=True)

@@ -56,6 +56,7 @@ SAMPLE = [
     "o_sort_family",
     "c_json_roundtrip",
     "w_frames_running",
+    "g_graph_family",
     # internal-only (not driver-exported) but kept oracle-true here
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -90,7 +91,6 @@ def test_every_query_has_oracle_or_is_documented():
     the known non-SQL-expressible ops (driver records rows-only for
     those)."""
     rows_only_allowed = {
-        "o6_mst_kruskal",
         "sim_ann_ivf",
         "extract_e2e",
         "extract_stages",

@@ -909,3 +909,47 @@ def media_pipeline(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "g_graph_family",
+    f"""
+    SELECT 'dbscan' AS part, component, vec_id, cluster,
+           CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,
+           CAST(NULL AS BIGINT) AS w_micro
+    FROM ({ORACLES["u4_dbscan_closure"]})
+    UNION ALL
+    SELECT 'mst', component, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           src, dst, w_micro
+    FROM ({ORACLES["o6_mst_kruskal"]})
+    """,
+)
+def g_graph_family(spark, sf_dir):
+    """SURVEY U4 (DBSCAN density closure) + O6 (Kruskal MST) as one
+    part-tagged graph family — the round-3 window fold that moves O6
+    from rows-only into the SQL-oracled driver window (its recursive
+    union-find twin landed this round, see o6_mst_kruskal).  Both
+    components share the embeddings-graph grain (component = label,
+    per-group applyInPandas kernel, ids canonicalized so output is
+    partitioning-invariant); the fold composes the registered component
+    DataFrames and oracle fragments per the CLAUDE.md fold procedure —
+    never copies them."""
+    dbs = relational3.u4_dbscan_closure(spark, sf_dir).select(
+        F.lit("dbscan").alias("part"),
+        "component",
+        "vec_id",
+        "cluster",
+        _nul("long").alias("src"),
+        _nul("long").alias("dst"),
+        _nul("long").alias("w_micro"),
+    )
+    mst = relational3.o6_mst_kruskal(spark, sf_dir).select(
+        F.lit("mst").alias("part"),
+        "component",
+        _nul("long").alias("vec_id"),
+        _nul("long").alias("cluster"),
+        "src",
+        "dst",
+        "w_micro",
+    )
+    return dbs.unionByName(mst)

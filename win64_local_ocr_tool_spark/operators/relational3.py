@@ -289,7 +289,70 @@ def _mst_edges(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("o6_mst_kruskal")
+_MST_SQL = """
+    WITH RECURSIVE norms AS (
+      SELECT label AS component, vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             CASE WHEN sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) = 0.0 THEN 1.0
+                  ELSE sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) END AS nrm
+      FROM embeddings
+    ),
+    ranked AS (  -- complete graph, integer micro-unit cosine distance,
+                 -- total order (w, src, dst) == the kernel's lexsort
+      SELECT component, src, dst, w_micro,
+             CAST(row_number() OVER (
+               PARTITION BY component ORDER BY w_micro, src, dst
+             ) AS BIGINT) AS rk
+      FROM (
+        SELECT a.component, a.vec_id AS src, b.vec_id AS dst,
+               CAST(round_even(
+                 (1.0 - list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+                 * 1000000.0, 0) AS BIGINT) AS w_micro
+        FROM norms a
+        JOIN norms b
+          ON a.component = b.component AND a.vec_id < b.vec_id
+      )
+    ),
+    -- Kruskal restated as selection-driven iteration: each step finds
+    -- the minimum-rank edge whose endpoints sit in different
+    -- components (mrk), merges the two labels to their least, and
+    -- marks that edge selected.  Edge rows of a finished component
+    -- (mrk IS NULL) drop out, terminating the recursion after exactly
+    -- n-1 merges per component.
+    state(component, it, src, dst, w_micro, rk, csrc, cdst, sel) AS (
+      SELECT component, 0, src, dst, w_micro, rk, src, dst, FALSE
+      FROM ranked
+      UNION ALL
+      SELECT component, it + 1, src, dst, w_micro, rk,
+             CASE WHEN csrc IN (e1, e2) THEN least(e1, e2)
+                  ELSE csrc END,
+             CASE WHEN cdst IN (e1, e2) THEN least(e1, e2)
+                  ELSE cdst END,
+             rk = mrk
+      FROM (
+        SELECT s2.*,
+               MAX(CASE WHEN rk = mrk THEN csrc END)
+                 OVER (PARTITION BY component) AS e1,
+               MAX(CASE WHEN rk = mrk THEN cdst END)
+                 OVER (PARTITION BY component) AS e2
+        FROM (
+          SELECT s.*,
+                 MIN(CASE WHEN csrc <> cdst THEN rk END)
+                   OVER (PARTITION BY component) AS mrk
+          FROM state s
+        ) s2
+        WHERE mrk IS NOT NULL
+      )
+    )
+    SELECT component, src, dst, w_micro FROM state WHERE sel
+    """
+
+
+@query("o6_mst_kruskal", _MST_SQL)
 def o6_mst_kruskal(spark, sf_dir):
     """Kruskal minimum-spanning-tree per component (reference: hover-MST
     connect with Kruskal + disjoint-set union,
@@ -297,9 +360,15 @@ def o6_mst_kruskal(spark, sf_dir):
     cross a component, so the whole kernel lives in one applyInPandas
     group — one shuffle on the grouping key, no iterative joins, no
     GraphFrames. Edge weights are integer micronits of cosine distance;
-    the (w, src, dst) lexsort makes the tree unique. Rows-only driver
-    check (MST is not ANSI-SQL-expressible); minimality and edge-count
-    invariants are pytest-gated."""
+    the (w, src, dst) lexsort makes the tree unique, so the DuckDB twin
+    can restate union-find as a recursive CTE: rank all edges by
+    (w_micro, src, dst), then iterate "merge the least-ranked
+    cross-component edge" until fixpoint — identical tree by the cut
+    property.  round_even matches np.rint (half-to-even); the weight is
+    the same IEEE double expression on both engines before the single
+    integer rounding, so micro-unit parity holds (see u4 precedent).
+    Minimality and edge-count invariants are additionally pytest-gated
+    (test_graph_ops.py)."""
     e = load(spark, sf_dir, "embeddings")
     return e.groupBy("label").applyInPandas(
         _mst_edges,
