@@ -266,3 +266,44 @@ def test_srp_lsh_recall_on_planted_near_dups(spark, tmp_path):
     for r in top1.itertuples():
         assert int(r.vec_id) == int(r.qid) + n_base
         assert (int(r.qid), int(r.vec_id)) in pairs
+
+
+def test_dedup_embedding_srp_verify_and_recall(spark, tmp_path):
+    """The production-shaped embedding dedup (SRP buckets -> exact
+    cosine verify): every emitted pair must carry the TRUE cosine
+    (verification is exact, so precision vs the threshold is 1.0), and
+    planted near-dup companions (cosine ~0.997) must be recovered at
+    >= 90% — the regime LSH-routed dedup is built for."""
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.operators.similarity import (
+        DEDUP_COS_THRESHOLD,
+    )
+
+    rng = np.random.default_rng(1234)
+    n_base, dim = 60, 64
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    comp = base + rng.standard_normal((n_base, dim)) * 0.01
+    comp /= np.linalg.norm(comp, axis=1, keepdims=True)
+    X = np.vstack([base, comp])
+    rows = [
+        (i, X[i].astype(np.float32).tolist(), 0) for i in range(2 * n_base)
+    ]
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = REG["dedup_embedding_srp"](spark, str(tmp_path)).toPandas()
+    Xd = X.astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(Xd, axis=1)
+    for r in out.itertuples():
+        a, b = int(r.vec_a), int(r.vec_b)
+        true_cos = float(Xd[a] @ Xd[b] / (nrm[a] * nrm[b]))
+        assert a < b
+        assert round(true_cos, 6) >= DEDUP_COS_THRESHOLD
+        assert abs(float(r.cosine) - true_cos) < 1e-3
+    got = {(int(r.vec_a), int(r.vec_b)) for r in out.itertuples()}
+    planted = [(i, i + n_base) for i in range(n_base)]
+    recall = sum(p in got for p in planted) / n_base
+    assert recall >= 0.9, f"SRP dedup recall on planted pairs: {recall}"

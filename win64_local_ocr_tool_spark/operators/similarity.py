@@ -130,7 +130,9 @@ def _srp_signs() -> list[list[float]]:
     ]
 
 
-def _srp_lsh_sql() -> str:
+def _srp_cte_body() -> str:
+    """``sig`` + ``bands`` CTE fragment shared by ``sim_srp_lsh`` and
+    ``dedup_embedding_srp`` (compose, never copy — CLAUDE.md)."""
     signs = _srp_signs()
     bit_exprs = ", ".join(
         "CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -139,8 +141,7 @@ def _srp_lsh_sql() -> str:
         for b in range(SRP_BITS)
     )
     width = SRP_BITS // SRP_BANDS
-    return f"""
-    WITH sig AS (
+    return f"""sig AS (
       SELECT vec_id, concat({bit_exprs}) AS sig FROM embeddings
     ),
     bands AS (
@@ -148,7 +149,12 @@ def _srp_lsh_sql() -> str:
              substr(sig, b.band * {width} + 1, {width}) AS bkey
       FROM sig CROSS JOIN
            (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
-    )
+    )"""
+
+
+def _srp_lsh_sql() -> str:
+    return f"""
+    WITH {_srp_cte_body()}
     SELECT 'sig' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
            sig
     FROM sig
@@ -157,6 +163,57 @@ def _srp_lsh_sql() -> str:
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
     """
+
+
+def _srp_sig_df(e):
+    """Per-vector SRP signature bitstring; localCheckpoint-ed so every
+    downstream band self-join shares one materialization."""
+    signs = _srp_signs()
+    bits = []
+    for b in range(SRP_BITS):
+        h = F.array(*[F.lit(s) for s in signs[b]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), h, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(F.round(dot, 6) >= 0, "1").otherwise("0"))
+    return e.select(
+        "vec_id", F.concat(*bits).alias("sig")
+    ).localCheckpoint()
+
+
+def _srp_candidate_pairs(sig):
+    """(id_a < id_b) candidate pairs from the banded (band, bkey)
+    equi-join — never an all-pairs compare."""
+    width = SRP_BITS // SRP_BANDS
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * width + 1, width)
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 @query("sim_srp_lsh", _srp_lsh_sql())
@@ -174,46 +231,8 @@ def sim_srp_lsh(spark, sf_dir):
     SRP_BITS ordered dots against the literal hyperplanes; the
     signature table is localCheckpoint-ed so the band self-join shares
     one materialization (the dedup_lsh_pairs staging pattern)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    signs = _srp_signs()
-    bits = []
-    for b in range(SRP_BITS):
-        h = F.array(*[F.lit(s) for s in signs[b]])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), h, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(F.round(dot, 6) >= 0, "1").otherwise("0"))
-    sig = e.select("vec_id", F.concat(*bits).alias("sig")).localCheckpoint()
-    width = SRP_BITS // SRP_BANDS
-    bands = sig.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("sig", b * width + 1, width)
-                    for b in range(SRP_BANDS)
-                ]
-            )
-        ).alias("band", "bkey"),
-    )
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    pairs = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
-    )
+    sig = _srp_sig_df(load(spark, sf_dir, "embeddings"))
+    pairs = _srp_candidate_pairs(sig)
     sig_rows = sig.select(
         F.lit("sig").alias("part"),
         F.col("vec_id").alias("id_a"),
@@ -227,6 +246,64 @@ def sim_srp_lsh(spark, sf_dir):
         F.lit(None).cast("string").alias("sig"),
     )
     return sig_rows.unionByName(pair_rows)
+
+
+DEDUP_COS_THRESHOLD = 0.25  # same floor as dedup_embedding_cosine
+
+
+@query(
+    "dedup_embedding_srp",
+    f"""
+    WITH {_srp_cte_body()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]),
+                6) >= {DEDUP_COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_srp(spark, sf_dir):
+    """Embedding near-dup pairs at the PRODUCTION shape: SRP-LSH band
+    buckets generate candidates (no all-pairs compare, no id-range
+    bound), then an exact cosine verify keeps pairs past the same
+    threshold as the quadratic ``dedup_embedding_cosine`` baseline.
+    This is the route a 100 TB embedding-dedup takes — output is a
+    subset of the baseline's pairs by construction (identical verify
+    expression), with recall pinned by the planted-near-dup pytest
+    gate (tests/test_similarity_srp.py). Candidates join embeddings
+    by key (broadcast-able candidate list at real scale); norms are
+    projected once per side before the pair-grain dot."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = _srp_candidate_pairs(_srp_sig_df(e)).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
+    )
+    en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
+    a = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(F.round(cos, 6) >= DEDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
 
 
 TRAIN_SAMPLE = 10_000  # centroid-training sample cap (faiss-style)
