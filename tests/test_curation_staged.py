@@ -131,3 +131,74 @@ def test_staged_rerun_is_deterministic(spark, staged, tmp_path):
         .toPandas()
     )
     assert a.equals(b)
+
+
+def _corpus_fingerprint(spark, work):
+    return sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{work}/corpus").collect()
+    )
+
+
+def test_resume_noop_skips_every_stage(spark, staged):
+    """Full lineage present -> resume recomputes nothing and the corpus
+    is untouched (the extraction resume-no-op twin, stage-granular)."""
+    root, stats = staged
+    before = _corpus_fingerprint(spark, str(root / "work"))
+    again = run_curation_staged(
+        spark, SF, str(root / "work"),
+        benchmark_dir=str(root / "bench"),
+        lineage_dir=str(root / "lineage"),
+        resume=True,
+    )
+    assert all(s.get("resumed") for s in again["stages"].values())
+    assert all(s["wall_ms"] == 0 for s in again["stages"].values())
+    assert {k: v["rows"] for k, v in again["stages"].items()} == {
+        k: v["rows"] for k, v in stats["stages"].items()
+    }
+    assert _corpus_fingerprint(spark, str(root / "work")) == before
+
+
+def test_resume_rewinds_exactly_one_failed_stage(spark, staged, tmp_path):
+    """Simulated kill during the scrub stage: its table is partial and
+    its lineage done-row (the commit marker) was never appended. Resume
+    must skip the five committed upstream stages, re-run scrub and
+    everything after it, and converge to the identical corpus."""
+    import shutil
+
+    root, stats = staged
+    work2 = tmp_path / "work"
+    shutil.copytree(root / "work", work2)
+    # the "kill": scrub output partial, downstream never ran
+    shutil.rmtree(work2 / "scrubbed")
+    shutil.rmtree(work2 / "corpus")
+    lin2 = tmp_path / "lineage"
+    spark.read.parquet(str(root / "lineage")).filter(
+        "stage NOT IN ('curate_scrub', 'curate_final_corpus')"
+    ).write.parquet(str(lin2))
+
+    again = run_curation_staged(
+        spark, SF, str(work2),
+        benchmark_dir=str(root / "bench"),
+        lineage_dir=str(lin2),
+        resume=True,
+    )
+    resumed = {k for k, v in again["stages"].items() if v.get("resumed")}
+    assert resumed == {
+        "minhash_sig", "lsh_pairs", "components", "canonical",
+        "decontaminate",
+    }
+    assert _corpus_fingerprint(spark, str(work2)) == _corpus_fingerprint(
+        spark, str(root / "work")
+    )
+    # the rerun appended commit markers for the two recomputed stages
+    lin = spark.read.parquet(str(lin2))
+    assert lin.filter("stage = 'curate_scrub'").count() == 1
+    assert lin.filter("stage = 'curate_final_corpus'").count() == 1
+
+
+def test_resume_requires_lineage_dir(spark, tmp_path):
+    with pytest.raises(ValueError, match="lineage_dir"):
+        run_curation_staged(
+            spark, SF, str(tmp_path / "w"), resume=True
+        )

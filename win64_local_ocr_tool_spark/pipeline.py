@@ -21,7 +21,12 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .lineage import append_lineage, prune_done, with_partition_key
+from .lineage import (
+    append_lineage,
+    prune_done,
+    read_lineage,
+    with_partition_key,
+)
 from .operators.extract import extract_all
 
 STAGE_EXTRACT = "extract"
@@ -263,6 +268,7 @@ def run_curation_staged(
     benchmark_dir: str | None = None,
     lineage_dir: str | None = None,
     run_id: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """The composed curation pipeline as STAGED jobs — the 100 TB
     deployment shape (VERDICT r2 item 6): every stage materializes its
@@ -290,7 +296,18 @@ def run_curation_staged(
     final assembly joins the scrubbed table to the canonical table on
     doc_id (at deployment scale both stage tables are bucketed by
     doc_id so this join is co-located); kill-lists (dup drops,
-    contaminated ids) broadcast into anti-joins against one scan."""
+    contaminated ids) broadcast into anti-joins against one scan.
+
+    Resume (stage-granular twin of ``run_extraction``'s
+    partition-granular resume): the lineage done-row is the stage's
+    COMMIT MARKER — it is appended only after the stage table is fully
+    written, so ``resume=True`` (requires ``lineage_dir``) skips any
+    stage with a done-row and re-runs everything else with an
+    overwrite. A kill mid-write leaves a partial table and no marker
+    -> that stage reruns; a kill between write and marker reruns one
+    completed write — idempotent either way. Engine-agnostic: no
+    reliance on parquet ``_SUCCESS`` files, so stage tables can move
+    behind the Iceberg ``merge_by_key`` seam unchanged."""
     from .operators.textops import (
         DECON_W,
         QUALITY_STOPWORDS,
@@ -304,7 +321,30 @@ def run_curation_staged(
 
     stats: dict = {"stages": {}, "work_dir": work_dir}
 
+    done_stages: set[str] = set()
+    if resume:
+        if not lineage_dir:
+            raise ValueError("resume=True requires lineage_dir")
+        lin = read_lineage(spark, lineage_dir)
+        if lin is not None:
+            done_stages = {
+                r["stage"][len("curate_"):]
+                for r in lin.filter(
+                    (F.col("status") == "done")
+                    & F.col("stage").startswith("curate_")
+                )
+                .select("stage")
+                .distinct()
+                .collect()
+            }
+
     def stage(name: str, df: DataFrame, path: str) -> int:
+        if name in done_stages:
+            n = spark.read.parquet(path).count()
+            stats["stages"][name] = {
+                "rows": int(n), "wall_ms": 0, "resumed": True,
+            }
+            return int(n)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()  # footer-only count
