@@ -55,6 +55,25 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", required=True)
     cu.add_argument("--master", default=None)
 
+    cs = sub.add_parser(
+        "curate-staged",
+        help="curation as staged jobs (sig -> pairs -> CC -> canonical "
+             "-> decontaminate -> scrub -> corpus), each stage "
+             "materialized with a lineage commit marker; --resume "
+             "rewinds to the first uncommitted stage",
+    )
+    cs.add_argument("--input", required=True,
+                    help="directory containing documents.parquet")
+    cs.add_argument("--workdir", required=True,
+                    help="stage tables land here; corpus at "
+                         "<workdir>/corpus")
+    cs.add_argument("--benchmark", default=None,
+                    help="eval-suite documents dir to decontaminate "
+                         "against")
+    cs.add_argument("--lineage", default=None)
+    cs.add_argument("--resume", action="store_true")
+    cs.add_argument("--master", default=None)
+
     pl = sub.add_parser(
         "pipeline",
         help="full crawl-to-corpus chain: extract (lineage+resume) -> "
@@ -114,6 +133,24 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "curate-staged":
+        from .pipeline import run_curation_staged
+
+        spark = get_spark("curate-staged-job", master=args.master)
+        try:
+            stats = run_curation_staged(
+                spark,
+                args.input,
+                args.workdir,
+                benchmark_dir=args.benchmark,
+                lineage_dir=args.lineage,
+                resume=args.resume,
+            )
+            print(json.dumps(stats))
             return 0
         finally:
             spark.stop()
