@@ -307,3 +307,36 @@ def test_dedup_embedding_srp_verify_and_recall(spark, tmp_path):
     planted = [(i, i + n_base) for i in range(n_base)]
     recall = sum(p in got for p in planted) / n_base
     assert recall >= 0.9, f"SRP dedup recall on planted pairs: {recall}"
+
+
+def test_sim_topk_srp_finds_planted_neighbors(spark, tmp_path):
+    """The SRP-routed top-k must (a) rank each query's planted
+    companion (cosine ~0.997) first — the true NN survives the
+    candidate cut — and (b) agree with the brute-force baseline
+    wherever the candidate set covers the baseline's top ranks."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    n_base, dim = 60, 64
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    comp = base + rng.standard_normal((n_base, dim)) * 0.01
+    comp /= np.linalg.norm(comp, axis=1, keepdims=True)
+    X = np.vstack([base, comp])
+    rows = [
+        (i, X[i].astype(np.float32).tolist(), 0) for i in range(2 * n_base)
+    ]
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    srp = REG["sim_topk_srp"](spark, str(tmp_path)).toPandas()
+    top1 = srp[srp["rnk"] == 1].set_index("qid")
+    assert len(top1) > 0
+    for qid, r in top1.iterrows():
+        assert int(r["vec_id"]) == int(qid) + n_base
+        assert float(r["cosine"]) > 0.99
+    brute = REG["sim_topk_cosine"](spark, str(tmp_path)).toPandas()
+    b1 = brute[brute["rnk"] == 1].set_index("qid")
+    for qid in top1.index:
+        assert int(top1.loc[qid, "vec_id"]) == int(b1.loc[qid, "vec_id"])

@@ -185,11 +185,10 @@ def _srp_sig_df(e):
     ).localCheckpoint()
 
 
-def _srp_candidate_pairs(sig):
-    """(id_a < id_b) candidate pairs from the banded (band, bkey)
-    equi-join — never an all-pairs compare."""
+def _srp_bands(sig):
+    """Explode the signature into (vec_id, band, bkey) bucket rows."""
     width = SRP_BITS // SRP_BANDS
-    bands = sig.select(
+    return sig.select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -200,6 +199,12 @@ def _srp_candidate_pairs(sig):
             )
         ).alias("band", "bkey"),
     )
+
+
+def _srp_candidate_pairs(sig):
+    """(id_a < id_b) candidate pairs from the banded (band, bkey)
+    equi-join — never an all-pairs compare."""
+    bands = _srp_bands(sig)
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -303,6 +308,87 @@ def dedup_embedding_srp(spark, sf_dir):
         .join(b, "vec_b")
         .filter(F.round(cos, 6) >= DEDUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+@query(
+    "sim_topk_srp",
+    f"""
+    WITH {_srp_cte_body()},
+    qb AS (
+      SELECT vec_id AS qid, band, bkey FROM bands
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, b.vec_id
+      FROM qb q JOIN bands b ON q.band = b.band AND q.bkey = b.bkey
+      WHERE b.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6) AS cos
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.qid
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    ),
+    rnkd AS (
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id
+             ) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, round(cos, 4) AS cosine, rnk
+    FROM rnkd WHERE rnk <= {TOPK}
+    """,
+)
+def sim_topk_srp(spark, sf_dir):
+    """Top-k cosine at the PRODUCTION shape: SRP band buckets generate
+    each query's candidate set (bucket equi-join, never a full scan of
+    the corpus per query), then an exact cosine rerank orders the
+    candidates — the LSH-route twin of the brute-force
+    ``sim_topk_cosine`` baseline, same output grain (qid, vec_id,
+    cosine, rnk) and the same round-6 deterministic ordering. Full
+    DuckDB oracle composes the shared SRP CTEs; the planted-companion
+    pytest pins that each query's true nearest neighbor survives the
+    candidate cut (tests/test_operators.py)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = _srp_bands(_srp_sig_df(e))
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "band", "bkey"
+    )
+    cand = (
+        qb.join(bands, ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
+    q = en.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    v = en.select("vec_id", "embedding", "nrm")
+    scored = (
+        cand.join(q, "qid")
+        .join(v, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot_expr(F.col("qv"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
     )
 
 
