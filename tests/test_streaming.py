@@ -427,3 +427,65 @@ def test_stateful_sessions_exact_gap_boundaries(spark, tmp_path, offset):
             .collect()[0][0]
         )
         assert n_batch == len(got), (cut, n_batch, len(got))
+
+
+def test_stateful_dedup_matches_batch_twin_any_order(spark, dirs):
+    """Streaming exact dedup: three shuffled epochs, a fresh query
+    (checkpoint-recovered state) per drain. min/count state merges are
+    order-free, so the final table must EQUAL the batch
+    groupBy(md5(text)) twin — same fp, n_dups, min-id representative —
+    despite arrival order scrambling doc_ids across epochs."""
+    import hashlib
+
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        drain_dedup_exact,
+        latest_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = [f"document body {i} " + "pad " * (i % 7) for i in range(80)]
+    assign = rng.integers(0, 80, size=300)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype="int64"),
+            "text": [texts[a] for a in assign],
+            "lang": "en",
+            "source": "stream",
+            "n_chars": np.array(
+                [len(texts[a]) for a in assign], dtype="int64"
+            ),
+        }
+    )
+    order = rng.permutation(300)
+    for k, chunk in enumerate(np.array_split(order, 3)):
+        _land(
+            pdf.iloc[chunk].reset_index(drop=True),
+            dirs["in"],
+            f"e{k}.parquet",
+        )
+        drain_dedup_exact(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    got = (
+        latest_dedup(spark, dirs["out"])
+        .toPandas()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    twin = pdf.assign(
+        fp=[hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    )
+    want = (
+        twin.groupby("fp")
+        .agg(n_dups=("doc_id", "size"), representative=("doc_id", "min"))
+        .reset_index()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == pdf["text"].nunique()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_dups": "int64", "representative": "int64"}), want
+    )
+    # dup structure really was planted: more docs than distinct texts
+    assert want["n_dups"].sum() == 300 and (want["n_dups"] > 1).any()

@@ -259,6 +259,78 @@ def final_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
     ).unionByName(latest_open)
 
 
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+DEDUP_OUTPUT_SCHEMA = "fp string, n_dups long, representative long"
+DEDUP_STATE_SCHEMA = "n long, representative long"
+
+
+def _update_dedup(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, rep = state.get if state.exists else (0, None)
+    for pdf in batches:
+        n += len(pdf)
+        m = int(pdf["doc_id"].min())
+        rep = m if rep is None or m < rep else rep
+    state.update((n, rep))
+    yield pd.DataFrame(
+        {"fp": [key[0]], "n_dups": [n], "representative": [rep]}
+    )
+
+
+def streaming_dedup_exact(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Exact dedup ON ARRIVAL — the streaming twin of the batch
+    ``dedup_exact`` operator (same key: md5(text); same output grain:
+    fp, n_dups, representative = min doc_id). Per-key state is two
+    longs (count + min id); min/count merges are associative and
+    commutative, so the FINAL state equals the batch groupBy under ANY
+    arrival order or epoch split — not just doc_id-ordered feeds
+    (pytest-gated with a shuffled random-epoch stress). This is the
+    incremental-crawl shape: each new crawl increment streams through,
+    duplicate counts accumulate, and the canonical choice never
+    flip-flops on restart because it is an order-free min."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(input_dir)
+    keyed = stream.withColumn("fp", F.md5("text"))
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _update_dedup,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain available document files through the dedup operator."""
+    _drain(streaming_dedup_exact(spark, input_dir), out_dir, checkpoint_dir)
+
+
+def latest_dedup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per fingerprint, the most recent dedup row across all epochs."""
+    from pyspark.sql import functions as F
+
+    rows = spark.read.schema(DEDUP_OUTPUT_SCHEMA + ", epoch long").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out_dir)
+    latest = F.max_by(
+        F.struct("n_dups", "representative"), F.col("epoch")
+    ).alias("s")
+    return rows.groupBy("fp").agg(latest).select(
+        "fp", "s.n_dups", "s.representative"
+    )
+
+
 def latest_totals(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per user, the most recent running-total row across all epochs."""
     from pyspark.sql import functions as F
