@@ -66,7 +66,7 @@ EXPORTED = [
     "u2_stratified_split",
     "training_corpus_final",
     "sim_topk_cosine",
-    "sim_srp_lsh",
+    "srp_family",
     # --- §2 relational families (SQL-oracled) ---
     "q_tpch_family",  # Q1+Q3+Q5+Q18 folded (round-3 window rotation)
     "a_stats_extents",

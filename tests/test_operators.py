@@ -40,7 +40,7 @@ SAMPLE = [
     "dedup_simhash",
     "text_profile",
     "sim_topk_cosine",
-    "sim_srp_lsh",
+    "srp_family",
     "dedup_ngram_jaccard",
     "dedup_canonical",
     "decontaminate_ngram",

@@ -953,3 +953,51 @@ def g_graph_family(spark, sf_dir):
         "w_micro",
     )
     return dbs.unionByName(mst)
+
+
+@query(
+    "srp_family",
+    f"""
+    SELECT part, id_a, id_b, sig,
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INTEGER) AS rnk
+    FROM ({ORACLES["sim_srp_lsh"]})
+    UNION ALL
+    SELECT 'topk', qid, vec_id, CAST(NULL AS VARCHAR), cosine, rnk
+    FROM ({ORACLES["sim_topk_srp"]})
+    UNION ALL
+    SELECT 'dedup', vec_a, vec_b, CAST(NULL AS VARCHAR), cosine,
+           CAST(NULL AS INTEGER)
+    FROM ({ORACLES["dedup_embedding_srp"]})
+    """,
+)
+def srp_family(spark, sf_dir):
+    """The complete SRP-LSH similarity surface as one part-tagged
+    family (round-3 fold in sim_srp_lsh's slot): part=sig|pair pins
+    the signatures and banded candidate pairs (sim_srp_lsh), part=topk
+    the LSH-routed top-k rerank (sim_topk_srp), part=dedup the
+    LSH-routed near-dup pairs at the baseline threshold
+    (dedup_embedding_srp). All three compose the SAME registered
+    component DataFrames and oracle fragments — the shared band CTEs
+    are built once in _srp_cte_body — so the driver window checks the
+    production similarity routes end to end."""
+    base = similarity.sim_srp_lsh(spark, sf_dir).select(
+        "part", "id_a", "id_b", "sig",
+        _nul("double").alias("cosine"), _nul("int").alias("rnk"),
+    )
+    topk = similarity.sim_topk_srp(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        F.col("qid").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        _nul("string").alias("sig"),
+        "cosine",
+        "rnk",
+    )
+    ddp = similarity.dedup_embedding_srp(spark, sf_dir).select(
+        F.lit("dedup").alias("part"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        _nul("string").alias("sig"),
+        "cosine",
+        _nul("int").alias("rnk"),
+    )
+    return base.unionByName(topk).unionByName(ddp)
