@@ -202,3 +202,71 @@ def test_resume_requires_lineage_dir(spark, tmp_path):
         run_curation_staged(
             spark, SF, str(tmp_path / "w"), resume=True
         )
+
+
+def test_real_sigkill_then_staged_resume_converges(spark, tmp_path):
+    """REAL kill -9 mid-chain (not a simulation): poll the lineage
+    table until >= 2 stage commit markers land, SIGKILL the CLI job,
+    resume with --resume, and assert the committed stages were skipped
+    and the corpus equals an uninterrupted run's."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work, lin = str(tmp_path / "work"), str(tmp_path / "lineage")
+
+    def cmd(resume):
+        return [
+            sys.executable, "-m", "win64_local_ocr_tool_spark.jobs",
+            "curate-staged", "--input", SF, "--workdir", work,
+            "--lineage", lin, "--master", "local[4]",
+        ] + (["--resume"] if resume else [])
+
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        cmd(False), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+    )
+    killed, n_done = False, 0
+    deadline = time.monotonic() + 240
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill it — still valid
+        try:
+            n_done = duckdb.sql(
+                f"SELECT count(DISTINCT stage) "
+                f"FROM read_parquet('{lin}/*.parquet')"
+            ).fetchone()[0]
+        except Exception:
+            n_done = 0
+        if n_done >= 2:
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait(timeout=60)
+            killed = True
+            break
+        time.sleep(0.3)
+    assert killed or proc.poll() == 0
+
+    out = subprocess.run(
+        cmd(True), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    resumed = {k for k, v in stats["stages"].items() if v.get("resumed")}
+    if killed:
+        assert len(resumed) >= 2  # committed stages never recomputed
+    else:
+        assert len(resumed) == len(stats["stages"])
+
+    # converged corpus == an uninterrupted run's
+    clean = run_curation_staged(spark, SF, str(tmp_path / "work_clean"))
+    assert stats["n_corpus"] == clean["n_corpus"]
+    got = _corpus_fingerprint(spark, work)
+    want = _corpus_fingerprint(spark, str(tmp_path / "work_clean"))
+    assert got == want
