@@ -489,3 +489,63 @@ def test_stateful_dedup_matches_batch_twin_any_order(spark, dirs):
     )
     # dup structure really was planted: more docs than distinct texts
     assert want["n_dups"].sum() == 300 and (want["n_dups"] > 1).any()
+
+
+@pytest.mark.parametrize("n_epochs", [1, 5])
+def test_stateful_dedup_epoch_split_invariance(spark, tmp_path, n_epochs):
+    """The dedup table must be IDENTICAL whether the same shuffled doc
+    set arrives as one epoch or five (checkpoint-recovered query per
+    epoch) — the order-free-merge claim as a split-invariance property."""
+    import hashlib
+
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.streaming.stateful import (
+        drain_dedup_exact,
+        latest_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = [f"body {i}" for i in range(40)]
+    assign = rng.integers(0, 40, size=150)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(150, dtype="int64"),
+            "text": [texts[a] for a in assign],
+            "lang": "en",
+            "source": "s",
+            "n_chars": np.array(
+                [len(texts[a]) for a in assign], dtype="int64"
+            ),
+        }
+    )
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    order = rng.permutation(150)
+    for k, chunk in enumerate(np.array_split(order, n_epochs)):
+        _land(
+            pdf.iloc[chunk].reset_index(drop=True), d["in"], f"e{k}.parquet"
+        )
+        drain_dedup_exact(spark, d["in"], d["out"], d["ckpt"])
+    got = (
+        latest_dedup(spark, d["out"])
+        .toPandas()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    twin = pdf.assign(
+        fp=[hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    )
+    want = (
+        twin.groupby("fp")
+        .agg(n_dups=("doc_id", "size"), representative=("doc_id", "min"))
+        .reset_index()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_dups": "int64", "representative": "int64"}), want
+    )
