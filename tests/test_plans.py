@@ -201,3 +201,18 @@ def test_null_n_bytes_rows_are_never_dropped(spark, tmp_path):
     assert n_null == 30
     out = extract_all(docs, mega_bytes=65536)
     assert out.count() == 60  # every url extracted exactly once
+
+
+def test_srp_routes_never_cross_join(spark, sf_dir):
+    """The SRP answer routes (topk rerank, dedup verify) must get their
+    pairs from the banded equi-join over the localCheckpoint-ed
+    signature table — a CartesianProduct / BroadcastNestedLoopJoin in
+    either plan means the route regressed to all-pairs. The embedding
+    re-joins stay keyed equi-joins on vec ids."""
+    for name in ("sim_topk_srp", "dedup_embedding_srp"):
+        plan = _plan(REG[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # candidate generation reads the materialized signature RDD,
+        # not a second minhash-from-parquet recompute per side
+        assert "Scan ExistingRDD" in plan, name
