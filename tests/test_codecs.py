@@ -352,3 +352,178 @@ def test_media_pipeline_on_real_jpeg(spark):
         assert rez[k]["status"] == "ok"
         out = decode_jpeg(bytes(rez[k]["payload"]))
         assert out.shape[:2] == (12, 20)
+
+
+# ---------------------------------------------------------------------------
+# GIF (kernels/gifcodec.py)
+# ---------------------------------------------------------------------------
+
+from win64_local_ocr_tool_spark.kernels.gifcodec import (  # noqa: E402
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    parse_gif_header,
+)
+
+
+@pytest.mark.parametrize("n_colors", [1, 4, 17, 256])
+def test_gif_roundtrip_palette_exact(n_colors):
+    """GIF is lossless for <=256-color images: encode -> decode is
+    pixel-identical across palette sizes (including the 1-color and
+    full-table edges)."""
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, size=(23, 17))]
+    payload = encode_gif(img)
+    assert parse_gif_header(payload) == (17, 23, 3)
+    assert (decode_gif(payload) == img).all()
+
+
+def test_gif_lzw_width_growth_and_table_overflow():
+    """Long low-entropy + high-entropy stream forces every LZW edge:
+    code-width growth to 12 bits, table overflow -> clear -> rebuild."""
+    rng = np.random.default_rng(0)
+    seq = np.concatenate(
+        [np.zeros(5000, dtype=np.int32),
+         rng.integers(0, 200, size=30000).astype(np.int32)]
+    )
+    out = _lzw_decode(_lzw_encode(seq, 8), 8, len(seq))
+    assert (out == seq.astype(np.uint8)).all()
+
+
+def test_gif_interlaced_and_gif89a_extensions():
+    """An interlaced GIF89a with a graphic-control extension decodes to
+    the same pixels as its non-interlaced twin (4-pass row shuffle +
+    extension skipping)."""
+    import struct as _struct
+
+    rng = np.random.default_rng(2)
+    h, w, ncol = 13, 6, 8
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w)).astype(np.int32)
+    order = [
+        r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    table = np.zeros((8, 3), dtype=np.uint8)
+    table[:ncol] = pal
+    raw = bytearray(b"GIF89a")
+    raw += _struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)
+    raw += table.tobytes()
+    raw += b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # GCE, skipped
+    raw += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    raw.append(3)
+    data = _lzw_encode(idx[order].reshape(-1), 3)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        raw.append(len(block))
+        raw += block
+    raw += b"\x00\x3b"
+    assert (decode_gif(bytes(raw)) == pal[idx]).all()
+
+
+def test_gif_corrupt_payloads_raise_never_hang():
+    good = encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+    bads = [
+        b"GIF87a",                      # nothing after magic
+        b"NOTGIF" + b"\x00" * 20,       # wrong magic
+        good[:20],                       # truncated mid-table
+        good[:-5],                       # truncated entropy stream
+        good[:13] + b"\x3b",             # trailer before any image
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_gif_decode_refuses_oversize_images():
+    import struct as _struct
+
+    big = bytearray(encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)))
+    _struct.pack_into("<HH", big, 6, 4000, 4000)      # screen
+    # image descriptor sits right after the 8-entry... find 0x2c
+    at = bytes(big).index(b"\x2c")
+    _struct.pack_into("<HH", big, at + 5, 4000, 4000)  # frame dims
+    with pytest.raises(ValueError, match="refusing full decode"):
+        decode_gif(bytes(big))
+    # header-only metadata still fine on the same payload
+    assert parse_gif_header(bytes(big)) == (4000, 4000, 3)
+
+
+# ---------------------------------------------------------------------------
+# BMP (kernels/bmpcodec.py)
+# ---------------------------------------------------------------------------
+
+from win64_local_ocr_tool_spark.kernels.bmpcodec import (  # noqa: E402
+    decode_bmp,
+    encode_bmp,
+    parse_bmp_header,
+)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_bmp_roundtrip_exact(channels):
+    """BI_RGB BMP is lossless at 24 and 32 bit, odd widths exercising
+    the 4-byte row padding."""
+    rng = np.random.default_rng(channels)
+    img = rng.integers(0, 256, size=(9, 7, channels), dtype=np.uint8)
+    payload = encode_bmp(img)
+    assert parse_bmp_header(payload) == (7, 9, channels)
+    assert (decode_bmp(payload) == img).all()
+
+
+def test_bmp_top_down_and_unsupported_profiles():
+    import struct as _struct
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip to top-down (negative height) and pre-flip the rows
+    flipped = bytearray(encode_bmp(img[::-1]))
+    _struct.pack_into("<i", flipped, 22, -4)
+    assert (decode_bmp(bytes(flipped)) == img).all()
+    # unsupported-but-real variants -> NotImplementedError (no_codec)
+    rle = bytearray(payload)
+    _struct.pack_into("<I", rle, 30, 1)   # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(bytes(rle))
+    pal8 = bytearray(payload)
+    _struct.pack_into("<H", pal8, 28, 8)  # 8-bit palette
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(bytes(pal8))
+    # malformed -> ValueError
+    with pytest.raises(ValueError):
+        parse_bmp_header(bytes(payload[:30]))
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(payload[:-8]))
+
+
+def test_media_pipeline_on_real_gif_and_bmp(spark):
+    """media_metadata + media_resize run the REAL GIF and BMP paths
+    end-to-end: correct dims/kind, resized payload round-trips in the
+    SAME container, nearest-neighbor pixels exact."""
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_metadata,
+        media_resize,
+        render_bmp,
+        render_gif,
+    )
+
+    gif, bmp = render_gif(30, 20, 12, seed=4), render_bmp(28, 18, 4, seed=4)
+    df = spark.createDataFrame(
+        [(1, gif), (2, bmp)], schema="media_id long, payload binary"
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert (meta[1]["container"], meta[1]["kind"], meta[1]["status"]) == (
+        "gif", "image", "ok")
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) == (
+        30, 20, 3)
+    assert (meta[2]["container"], meta[2]["n_channels"]) == ("bmp", 4)
+
+    rez = {r["media_id"]: r for r in media_resize(df, 10, 8).collect()}
+    ys, xs = (np.arange(8) * 20) // 8, (np.arange(10) * 30) // 10
+    got = decode_gif(bytes(rez[1]["payload"]))
+    assert (got == decode_gif(gif)[ys][:, xs]).all()
+    ys2, xs2 = (np.arange(8) * 18) // 8, (np.arange(10) * 28) // 10
+    got2 = decode_bmp(bytes(rez[2]["payload"]))
+    assert (got2 == decode_bmp(bmp)[ys2][:, xs2]).all()

@@ -30,7 +30,10 @@ def test_media_metadata(spark):
     # image rows carry dimensions
     img = meta[meta["kind"] == "image"]
     assert (img["status"] == "ok").all()
-    assert (img["width"] >= 64).all() and (img["n_channels"].isin([1, 3])).all()
+    # fixture mix spans PNG/JPEG/GIF/BMP/simg: smallest render is the
+    # 32px GIF; channels cover gray(1)/RGB(3)/RGBA(4)
+    assert (img["width"] >= 32).all()
+    assert (img["n_channels"].isin([1, 3, 4])).all()
     # audio rows carry sample rate
     aud = meta[meta["kind"] == "audio"]
     assert (aud["sample_rate"] >= 8000).all()
@@ -120,12 +123,26 @@ def test_media_resize_dims_and_determinism(spark):
 
             img = decode_jpeg(bytes(p))
             h, w = img.shape[:2]
+        elif cont == "gif":
+            from win64_local_ocr_tool_spark.kernels.gifcodec import (
+                decode_gif,
+            )
+
+            img = decode_gif(bytes(p))
+            h, w = img.shape[:2]
+        elif cont == "bmp":
+            from win64_local_ocr_tool_spark.kernels.bmpcodec import (
+                decode_bmp,
+            )
+
+            img = decode_bmp(bytes(p))
+            h, w = img.shape[:2]
         else:
             img = decode_png(bytes(p))
             h, w = img.shape[:2]
         assert (w, h) == (32, 24)
-    # the fixture mixes real PNG + JPEG rows in — all emit paths appear
-    assert containers == {"simg", "png", "jpeg"}
+    # the fixture mixes every real container in — all emit paths appear
+    assert containers == {"simg", "png", "jpeg", "gif", "bmp"}
     # audio + garbage rows -> error, never crash
     assert set(out["status"]) <= {"ok", "error", "no_codec"}
     again = media_resize(synthetic_media_df(spark, 60), 32, 24).toPandas()

@@ -1,0 +1,121 @@
+"""Minimal pure-stdlib BMP codec (struct + numpy) for the multimodal
+operators.
+
+Same boundary discipline as ``pngcodec.py`` / ``jpegcodec.py``
+(reference analog: arbitrary image uploads decoded via PIL,
+``backend/annotator/segmentation/utils.py:7-14``): the overwhelmingly
+common case decodes FOR REAL — uncompressed BI_RGB 24/32-bit with any
+of the BITMAPINFOHEADER family headers, bottom-up or top-down — while
+variants that need a real codec (palette 1/4/8-bit, RLE compression,
+bitfields, OS/2 core headers) raise ``NotImplementedError`` and
+surface as ``status='no_codec'`` rows; malformed payloads raise
+``ValueError`` and surface as ``error`` rows, never task failures.
+
+The encoder (24-bit BI_RGB, bottom-up) provides round-trip fixtures
+and lets sinks emit real BMP without any external library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_MAGIC = b"BM"
+
+# Full decode materializes w*h*4 bytes twice (padded rows + output);
+# same per-task stall rationale as pngcodec.MAX_DECODE_PIXELS.
+MAX_DECODE_PIXELS = 1_000_000
+
+_DIB_SIZES = {40, 52, 56, 64, 108, 124}  # BITMAPINFOHEADER family
+
+
+def _parse_headers(payload: bytes):
+    """(data_offset, width, height, bpp, top_down) with the boundary
+    split: ValueError = malformed, NotImplementedError = real format
+    this stdlib codec does not cover."""
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP (no BM magic)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size == 12:
+        raise NotImplementedError("OS/2 BITMAPCOREHEADER needs a real codec")
+    if dib_size not in _DIB_SIZES:
+        raise ValueError(f"bad DIB header size {dib_size}")
+    w, h, planes, bpp, compression = struct.unpack_from(
+        "<iihhI", payload, 18
+    )
+    if planes != 1:
+        raise ValueError("bad planes count")
+    if compression == 3 and dib_size >= 52:
+        raise NotImplementedError("BI_BITFIELDS BMP needs a real codec")
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) needs a real codec"
+        )
+    if bpp in (1, 2, 4, 8):
+        raise NotImplementedError(f"{bpp}-bit palette BMP needs a real codec")
+    if bpp not in (24, 32):
+        raise ValueError(f"bad bit depth {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError("bad dimensions")
+    if data_offset < 14 + dib_size or data_offset > len(payload):
+        raise ValueError("bad pixel-data offset")
+    return data_offset, w, h, bpp, top_down
+
+
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) — header-only, body untouched."""
+    _, w, h, bpp, _ = _parse_headers(payload)
+    return w, h, bpp // 8
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Full pixel decode -> HxWxC uint8 (C=3 RGB for 24-bit, C=4 RGBA
+    for 32-bit), rows un-padded, bottom-up storage flipped to natural
+    top-down order."""
+    off, w, h, bpp, top_down = _parse_headers(payload)
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"refusing full decode of {w}x{h} BMP "
+            f"(> {MAX_DECODE_PIXELS} px); parse_bmp_header covers metadata"
+        )
+    c = bpp // 8
+    stride = (w * c + 3) & ~3  # rows padded to 4 bytes
+    need = stride * h
+    body = payload[off:off + need]
+    if len(body) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * c].reshape(h, w, c)
+    if not top_down:
+        img = img[::-1]
+    # stored BGR(A) -> natural RGB(A)
+    out = img.copy()
+    out[..., 0], out[..., 2] = img[..., 2], img[..., 0]
+    return out
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """RGB (HxWx3) or RGBA (HxWx4) uint8 -> BI_RGB bottom-up BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_bmp wants HxWx3 or HxWx4 uint8")
+    h, w, c = img.shape
+    bgr = img.copy()
+    bgr[..., 0], bgr[..., 2] = img[..., 2], img[..., 0]
+    stride = (w * c + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * c] = bgr[::-1].reshape(h, w * c)
+    body = rows.tobytes()
+    dib = struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, c * 8, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack(
+        "<2sIHHI", BMP_MAGIC, 14 + len(dib) + len(body), 0, 0, 14 + len(dib)
+    )
+    return head + dib + body

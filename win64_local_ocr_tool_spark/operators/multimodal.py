@@ -2,12 +2,14 @@
 
 The reference's core loop IS a multimodal pipeline (image in -> text
 out); this module generalizes the plumbing to image/audio/video columns
-for a training-data pipeline, per the task brief. PNG, baseline JPEG
-and PCM WAV decode FOR REAL via stdlib-only codecs
-(``kernels/pngcodec.py`` zlib baseline profile,
+for a training-data pipeline, per the task brief. PNG, baseline JPEG,
+GIF, uncompressed BMP and PCM WAV decode FOR REAL via stdlib-only
+codecs (``kernels/pngcodec.py`` zlib baseline profile,
 ``kernels/jpegcodec.py`` huffman + numpy IDCT,
-``kernels/wavcodec.py`` via ``wave``); non-baseline JPEG
-(progressive/arithmetic/12-bit) and compressed audio remain the
+``kernels/gifcodec.py`` LZW + palettes,
+``kernels/bmpcodec.py`` BI_RGB 24/32-bit,
+``kernels/wavcodec.py`` via ``wave``); variants needing a real codec
+(non-baseline JPEG, palette/RLE BMP) and compressed audio remain the
 documented ``no_codec`` boundary (a real deployment swaps the
 ``_decode_image`` / ``_decode_audio`` internals for PIL/ffmpeg).
 Everything Spark-side is real and tested: schemas, metadata sniffing,
@@ -15,7 +17,7 @@ Arrow batch shapes, partitioning, and the iterator-UDF init pattern
 (one-time heavy init per executor, reference
 ``segment_graph.py:73-76``).
 
-Payload containers are sniffed from magic bytes (PNG/JPEG/WAV here,
+Payload containers are sniffed from magic bytes (PNG/JPEG/GIF/BMP/WAV,
 plus the reference-style fake used by the synthetic corpus), never from
 file extensions — the reference normalizes uploads the same way
 (``routes.py:63-81``).
@@ -39,10 +41,14 @@ FEATURE_SCHEMA = (
     "media_id long, kind string, status string, feat array<float>"
 )
 
-# magic-byte sniffers (container detection is real; decode is stubbed)
+# magic-byte sniffers (detection AND decode are real for png/jpeg/
+# gif/bmp/wav; the %S* containers are deterministic test fixtures)
 _MAGICS = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"BM", "bmp"),  # weak 2-byte magic; DIB-size sanity check below
     (b"RIFF", "wav"),  # + b"WAVE" at offset 8
     (b"%SIMG", "simg"),  # synthetic fixture image (tests)
     (b"%SAUD", "saud"),  # synthetic fixture audio (tests)
@@ -50,10 +56,19 @@ _MAGICS = [
 ]
 
 
+_IMAGE_CONTAINERS = ("png", "jpeg", "gif", "bmp", "simg")
+
+
 def sniff_container(payload: bytes) -> str:
     for magic, name in _MAGICS:
         if payload.startswith(magic):
             if name == "wav" and payload[8:12] != b"WAVE":
+                continue
+            if name == "bmp" and (
+                len(payload) < 54
+                or int.from_bytes(payload[14:18], "little")
+                not in (12, 40, 52, 56, 64, 108, 124)
+            ):
                 continue
             return name
     return "unknown"
@@ -100,6 +115,34 @@ def render_jpeg(width: int, height: int, channels: int, seed: int) -> bytes:
         img, quality=85, subsample=(channels == 3 and seed % 2 == 0),
         restart_interval=(4 if seed % 3 == 0 else 0),
     )
+
+
+def render_gif(width: int, height: int, n_colors: int, seed: int) -> bytes:
+    """REAL deterministic GIF fixture (encoded by kernels/gifcodec):
+    a seeded <=256-color palette image, losslessly round-trippable."""
+    import numpy as np
+
+    from ..kernels.gifcodec import encode_gif
+
+    n_colors = max(1, min(n_colors, 256))
+    cidx = np.arange(n_colors * 3, dtype=np.uint64)
+    palette = ((cidx * 2654435761 + seed * 97) % 256).astype(
+        np.uint8
+    ).reshape(n_colors, 3)
+    pidx = np.arange(width * height, dtype=np.uint64)
+    idx = ((pidx * 40503 + seed) % n_colors).astype(np.int64)
+    return encode_gif(palette[idx].reshape(height, width, 3))
+
+
+def render_bmp(width: int, height: int, channels: int, seed: int) -> bytes:
+    """REAL deterministic BMP fixture (encoded by kernels/bmpcodec)."""
+    import numpy as np
+
+    from ..kernels.bmpcodec import encode_bmp
+
+    idx = np.arange(width * height * channels, dtype=np.uint64)
+    img = ((idx * 2654435761 + seed * 40503) % 256).astype(np.uint8)
+    return encode_bmp(img.reshape(height, width, channels))
 
 
 def render_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
@@ -162,10 +205,11 @@ def _parse_saud_header(payload: bytes):
 def _decode_image(payload: bytes, container: str):
     """(width, height, channels) — header-only, body untouched.
 
-    PNG and baseline JPEG decode FOR REAL via the stdlib codecs
-    (``kernels/pngcodec.py``, ``kernels/jpegcodec.py``; reference image
-    loads ``segmentation/utils.py:7-14``); the synthetic container
-    parses its fixture header. Non-baseline JPEG raises
+    PNG, baseline JPEG, GIF and uncompressed BMP decode FOR REAL via
+    the stdlib codecs (``kernels/{png,jpeg,gif,bmp}codec.py``;
+    reference image loads ``segmentation/utils.py:7-14``); the
+    synthetic container parses its fixture header. Variants needing a
+    real codec (non-baseline JPEG, palette/RLE BMP) raise
     NotImplementedError inside the kernel (-> status='no_codec')."""
     if container == "simg":
         return _parse_simg_header(payload)
@@ -177,6 +221,14 @@ def _decode_image(payload: bytes, container: str):
         from ..kernels.jpegcodec import parse_jpeg_header
 
         return parse_jpeg_header(payload)
+    if container == "gif":
+        from ..kernels.gifcodec import parse_gif_header
+
+        return parse_gif_header(payload)
+    if container == "bmp":
+        from ..kernels.bmpcodec import parse_bmp_header
+
+        return parse_bmp_header(payload)
     raise NotImplementedError(
         f"no {container} codec in this environment; swap in PIL/opencv"
     )
@@ -184,8 +236,9 @@ def _decode_image(payload: bytes, container: str):
 
 def _decode_image_pixels(payload: bytes, container: str):
     """Full pixel decode -> HxWxC uint8 numpy array (PNG, baseline
-    JPEG, synthetic; non-baseline JPEG raises NotImplementedError and
-    surfaces as status='no_codec')."""
+    JPEG, GIF first-frame, uncompressed BMP, synthetic; variants
+    needing a real codec raise NotImplementedError and surface as
+    status='no_codec')."""
     import numpy as np
 
     if container == "png":
@@ -196,6 +249,14 @@ def _decode_image_pixels(payload: bytes, container: str):
         from ..kernels.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if container == "gif":
+        from ..kernels.gifcodec import decode_gif
+
+        return decode_gif(payload)
+    if container == "bmp":
+        from ..kernels.bmpcodec import decode_bmp
+
+        return decode_bmp(payload)
     if container == "simg":
         w, h, c = _parse_simg_header(payload)
         stored = np.frombuffer(payload[14:], dtype=np.uint8)
@@ -254,7 +315,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
                     "status": "ok",
                 }
                 try:
-                    if container in ("png", "jpeg", "simg"):
+                    if container in _IMAGE_CONTAINERS:
                         row["kind"] = "image"
                         w, h, c = _decode_image(payload, container)
                         row.update(width=w, height=h, n_channels=c)
@@ -308,7 +369,7 @@ def media_features(media: DataFrame, *, dim: int = 8) -> DataFrame:
                          "status": "error", "feat": None}
                     )
                     continue
-                kind = "image" if container in ("png", "jpeg", "simg") else "audio"
+                kind = "image" if container in _IMAGE_CONTAINERS else "audio"
                 hist = np.bincount(
                     np.frombuffer(payload[5:4101], dtype=np.uint8), minlength=256
                 ).astype(np.float64)
@@ -352,7 +413,7 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     "media_id": int(mid), "width": target_w,
                     "height": target_h, "payload": None, "status": "ok",
                 }
-                if container not in ("simg", "png", "jpeg"):
+                if container not in _IMAGE_CONTAINERS:
                     row["status"] = "error"
                     rows.append(row)
                     continue
@@ -373,6 +434,16 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         from ..kernels.jpegcodec import encode_jpeg
 
                         row["payload"] = encode_jpeg(out, quality=90)
+                    elif container == "gif":
+                        from ..kernels.gifcodec import encode_gif
+
+                        # nearest-neighbor only SELECTS source pixels,
+                        # so the palette can never exceed the input's
+                        row["payload"] = encode_gif(out)
+                    elif container == "bmp":
+                        from ..kernels.bmpcodec import encode_bmp
+
+                        row["payload"] = encode_bmp(out)
                     else:
                         seed = struct.unpack_from("<I", payload, 10)[0]
                         head = b"%SIMG" + struct.pack(
@@ -526,6 +597,18 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                     payload = render_jpeg(
                         64 + (i % 6) * 8, 32 + (i % 4) * 8,
                         3 if i % 2 else 1, seed + i,
+                    )
+                elif i % 23 == 9:
+                    # real GIF rows (stdlib LZW codec)
+                    payload = render_gif(
+                        32 + (i % 5) * 8, 24 + (i % 4) * 8,
+                        4 + (i % 60), seed + i,
+                    )
+                elif i % 29 == 12:
+                    # real BMP rows (uncompressed BI_RGB)
+                    payload = render_bmp(
+                        40 + (i % 6) * 4, 20 + (i % 3) * 8,
+                        3 if i % 2 else 4, seed + i,
                     )
                 elif i % 7 == 3:
                     payload = render_saud(8000 + (i % 4) * 8000, 1000 + i, seed + i)
