@@ -487,10 +487,10 @@ def test_bmp_top_down_and_unsupported_profiles():
     _struct.pack_into("<I", rle, 30, 1)   # BI_RLE8
     with pytest.raises(NotImplementedError):
         parse_bmp_header(bytes(rle))
-    pal8 = bytearray(payload)
-    _struct.pack_into("<H", pal8, 28, 8)  # 8-bit palette
+    pal4 = bytearray(payload)
+    _struct.pack_into("<H", pal4, 28, 4)  # 4-bit palette (unsupported)
     with pytest.raises(NotImplementedError):
-        parse_bmp_header(bytes(pal8))
+        parse_bmp_header(bytes(pal4))
     # malformed -> ValueError
     with pytest.raises(ValueError):
         parse_bmp_header(bytes(payload[:30]))
@@ -527,3 +527,36 @@ def test_media_pipeline_on_real_gif_and_bmp(spark):
     ys2, xs2 = (np.arange(8) * 18) // 8, (np.arange(10) * 28) // 10
     got2 = decode_bmp(bytes(rez[2]["payload"]))
     assert (got2 == decode_bmp(bmp)[ys2][:, xs2]).all()
+
+
+def test_bmp_8bit_palette_decode():
+    """Hand-assembled 8-bit palette BMP (BGRX quads, padded index
+    rows) decodes through the palette to RGB."""
+    import struct as _struct
+
+    rng = np.random.default_rng(8)
+    w, h, ncol = 5, 4, 16
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:ncol, 0], quads[:ncol, 1], quads[:ncol, 2] = (
+        pal[:, 2], pal[:, 1], pal[:, 0])  # BGRX
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    body = rows.tobytes()
+    dib = _struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0)
+    off = 14 + len(dib) + quads.size
+    head = _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    payload = head + dib + quads.tobytes() + body
+    assert parse_bmp_header(payload) == (w, h, 3)
+    assert (decode_bmp(payload) == pal[idx]).all()
+    # out-of-palette index (biClrUsed=2) -> ValueError, not garbage
+    dib2 = _struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 2, 0)
+    off2 = 14 + len(dib2) + 8
+    head2 = _struct.pack("<2sIHHI", b"BM", off2 + len(body), 0, 0, off2)
+    bad = head2 + dib2 + quads.tobytes()[:8] + body
+    with pytest.raises(ValueError):
+        decode_bmp(bad)

@@ -4,10 +4,10 @@ operators.
 Same boundary discipline as ``pngcodec.py`` / ``jpegcodec.py``
 (reference analog: arbitrary image uploads decoded via PIL,
 ``backend/annotator/segmentation/utils.py:7-14``): the overwhelmingly
-common case decodes FOR REAL — uncompressed BI_RGB 24/32-bit with any
-of the BITMAPINFOHEADER family headers, bottom-up or top-down — while
-variants that need a real codec (palette 1/4/8-bit, RLE compression,
-bitfields, OS/2 core headers) raise ``NotImplementedError`` and
+common case decodes FOR REAL — uncompressed BI_RGB 8-bit-palette /
+24 / 32-bit with any of the BITMAPINFOHEADER family headers, bottom-up
+or top-down — while variants that need a real codec (palette 1/4-bit,
+RLE compression, bitfields, OS/2 core headers) raise ``NotImplementedError`` and
 surface as ``status='no_codec'`` rows; malformed payloads raise
 ``ValueError`` and surface as ``error`` rows, never task failures.
 
@@ -55,9 +55,9 @@ def _parse_headers(payload: bytes):
         raise NotImplementedError(
             f"compressed BMP (method {compression}) needs a real codec"
         )
-    if bpp in (1, 2, 4, 8):
+    if bpp in (1, 2, 4):
         raise NotImplementedError(f"{bpp}-bit palette BMP needs a real codec")
-    if bpp not in (24, 32):
+    if bpp not in (8, 24, 32):
         raise ValueError(f"bad bit depth {bpp}")
     top_down = h < 0
     h = abs(h)
@@ -69,15 +69,28 @@ def _parse_headers(payload: bytes):
 
 
 def parse_bmp_header(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) — header-only, body untouched."""
+    """(width, height, channels) — header-only, body untouched.
+    8-bit palette BMP reports 3 channels (palette entries are RGB)."""
     _, w, h, bpp, _ = _parse_headers(payload)
-    return w, h, bpp // 8
+    return w, h, 3 if bpp == 8 else bpp // 8
+
+
+def _palette(payload: bytes, dib_size: int, bpp: int) -> np.ndarray:
+    """256-entry RGB palette from the BGRX quads after the DIB header."""
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+    off = 14 + dib_size
+    if off + 4 * n_colors > len(payload):
+        raise ValueError("truncated BMP palette")
+    quads = np.frombuffer(
+        payload, dtype=np.uint8, count=4 * n_colors, offset=off
+    ).reshape(n_colors, 4)
+    return quads[:, [2, 1, 0]].copy()  # BGRX -> RGB
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Full pixel decode -> HxWxC uint8 (C=3 RGB for 24-bit, C=4 RGBA
-    for 32-bit), rows un-padded, bottom-up storage flipped to natural
-    top-down order."""
+    """Full pixel decode -> HxWxC uint8 (C=3 RGB for 24-bit and 8-bit
+    palette, C=4 RGBA for 32-bit), rows un-padded, bottom-up storage
+    flipped to natural top-down order."""
     off, w, h, bpp, top_down = _parse_headers(payload)
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
@@ -94,6 +107,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     img = rows[:, : w * c].reshape(h, w, c)
     if not top_down:
         img = img[::-1]
+    if bpp == 8:
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        pal = _palette(payload, dib_size, bpp)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("pixel index outside BMP palette")
+        return pal[idx]
     # stored BGR(A) -> natural RGB(A)
     out = img.copy()
     out[..., 0], out[..., 2] = img[..., 2], img[..., 0]
