@@ -560,3 +560,47 @@ def test_bmp_8bit_palette_decode():
     bad = head2 + dib2 + quads.tobytes()[:8] + body
     with pytest.raises(ValueError):
         decode_bmp(bad)
+
+
+def test_gif_subscreen_first_frame_composites_onto_canvas():
+    """A first frame smaller than the logical screen (legal GIF89a,
+    emitted by optimizing encoders) must decode to SCREEN-sized output:
+    frame pasted at (left, top), background color elsewhere — keeping
+    decode dims equal to parse_gif_header dims."""
+    import struct as _struct
+
+    from win64_local_ocr_tool_spark.kernels.gifcodec import _lzw_encode
+
+    rng = np.random.default_rng(6)
+    sw, sh, fw, fh, left, top = 12, 9, 4, 3, 5, 2
+    ncol = 8
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(fh, fw)).astype(np.int32)
+    table = np.zeros((8, 3), dtype=np.uint8)
+    table[:ncol] = pal
+    bg_index = 3
+    raw = bytearray(b"GIF89a")
+    raw += _struct.pack("<HHBBB", sw, sh, 0x80 | 2, bg_index, 0)
+    raw += table.tobytes()
+    raw += b"\x2c" + _struct.pack("<HHHHB", left, top, fw, fh, 0)
+    raw.append(3)
+    data = _lzw_encode(idx.reshape(-1), 3)
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        raw.append(len(blk))
+        raw += blk
+    raw += b"\x00\x3b"
+
+    assert parse_gif_header(bytes(raw)) == (sw, sh, 3)
+    out = decode_gif(bytes(raw))
+    assert out.shape == (sh, sw, 3)
+    assert (out[top:top + fh, left:left + fw] == pal[idx]).all()
+    mask = np.ones((sh, sw), dtype=bool)
+    mask[top:top + fh, left:left + fw] = False
+    assert (out[mask] == pal[bg_index]).all()
+    # a frame OVERFLOWING the screen is malformed, not an OOB write
+    bad = bytearray(raw)
+    at = bytes(bad).index(b"\x2c")
+    _struct.pack_into("<HH", bad, at + 5, 10, 10)  # 10x10 at (5,2)
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        decode_gif(bytes(bad))

@@ -142,12 +142,17 @@ def _corpus_fingerprint(spark, work):
 
 def test_resume_noop_skips_every_stage(spark, staged):
     """Full lineage present -> resume recomputes nothing and the corpus
-    is untouched (the extraction resume-no-op twin, stage-granular)."""
+    is untouched (the extraction resume-no-op twin, stage-granular).
+    The input dirs passed here DO NOT EXIST: stage bodies are thunks
+    evaluated only for uncommitted stages, so a fully-resumed run must
+    never construct a plan over (or even look at) the source tables —
+    several compute bodies run eager localCheckpoint work at plan-build
+    time, which the thunking exists to avoid."""
     root, stats = staged
     before = _corpus_fingerprint(spark, str(root / "work"))
     again = run_curation_staged(
-        spark, SF, str(root / "work"),
-        benchmark_dir=str(root / "bench"),
+        spark, str(root / "DOES-NOT-EXIST"), str(root / "work"),
+        benchmark_dir=str(root / "ALSO-NOT-THERE"),
         lineage_dir=str(root / "lineage"),
         resume=True,
     )

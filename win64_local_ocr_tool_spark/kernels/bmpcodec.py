@@ -57,6 +57,8 @@ def _parse_headers(payload: bytes):
         )
     if bpp in (1, 2, 4):
         raise NotImplementedError(f"{bpp}-bit palette BMP needs a real codec")
+    if bpp == 16:
+        raise NotImplementedError("16-bit RGB555/565 BMP needs a real codec")
     if bpp not in (8, 24, 32):
         raise ValueError(f"bad bit depth {bpp}")
     top_down = h < 0

@@ -7,8 +7,10 @@ decode seam gets a REAL decoder for the third big crawl-image format
 after PNG and JPEG (reference analog: arbitrary uploads via PIL,
 ``backend/annotator/segmentation/utils.py:7-14``). Covered for real:
 GIF87a/GIF89a, global/local color tables, interlaced images, any LZW
-code width, multi-frame files (the FIRST frame is decoded — the still
-image; animation compositing is out of scope and documented).
+code width, multi-frame files (the FIRST frame is decoded and
+composited onto the logical screen at its (left, top) offset over the
+background color, so output dims always equal ``parse_gif_header``'s;
+animation compositing beyond frame 1 is out of scope and documented).
 Transparency is ignored (output is RGB; the transparent index renders
 as its palette color). Malformed payloads raise ``ValueError`` ->
 row-level ``error`` status, never task failures.
@@ -51,12 +53,12 @@ def _sub_blocks(payload: bytes, off: int) -> tuple[bytes, int]:
 
 
 def _screen(payload: bytes):
-    """(width, height, gct_or_None, off_after_header)."""
+    """(width, height, gct_or_None, bg_index, off_after_header)."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     off = 13
     gct = None
     if packed & 0x80:
@@ -67,7 +69,7 @@ def _screen(payload: bytes):
             payload, dtype=np.uint8, count=3 * size, offset=off
         ).reshape(size, 3)
         off += 3 * size
-    return w, h, gct, off
+    return w, h, gct, bg, off
 
 
 def _first_image_descriptor(payload: bytes, off: int):
@@ -91,7 +93,7 @@ def _first_image_descriptor(payload: bytes, off: int):
             raise ValueError(f"bad GIF block introducer 0x{introducer:02x}")
         if off + 9 > n:
             raise ValueError("truncated image descriptor")
-        _left, _top, w, h, packed = struct.unpack_from("<HHHHB", payload, off)
+        left, top, w, h, packed = struct.unpack_from("<HHHHB", payload, off)
         off += 9
         lct = None
         if packed & 0x80:
@@ -102,13 +104,15 @@ def _first_image_descriptor(payload: bytes, off: int):
                 payload, dtype=np.uint8, count=3 * size, offset=off
             ).reshape(size, 3)
             off += 3 * size
-        return w, h, bool(packed & 0x40), lct, off
+        return left, top, w, h, bool(packed & 0x40), lct, off
 
 
 def parse_gif_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels=3) from the logical screen descriptor —
-    header-only, never touches entropy data."""
-    w, h, _, _ = _screen(payload)
+    header-only, never touches entropy data. ``decode_gif`` returns
+    exactly these dimensions (sub-screen first frames are composited
+    onto the screen canvas)."""
+    w, h, _, _, _ = _screen(payload)
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise ValueError("bad dimensions")
     return w, h, 3
@@ -187,16 +191,26 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First frame -> HxWx3 uint8 RGB."""
-    _, _, gct, off = _screen(payload)
-    w, h, interlaced, lct, off = _first_image_descriptor(payload, off)
-    if w == 0 or h == 0:
+    """First frame composited onto the logical screen -> HxWx3 uint8
+    RGB at exactly ``parse_gif_header``'s dimensions. A sub-screen
+    first frame (legal per GIF89a, produced by optimizing encoders) is
+    pasted at its (left, top) offset over a background-color canvas;
+    animation compositing beyond frame 1 is out of scope."""
+    sw, sh, gct, bg, off = _screen(payload)
+    if sw == 0 or sh == 0:
         raise ValueError("bad dimensions")
-    if w * h > MAX_DECODE_PIXELS:
+    if sw * sh > MAX_DECODE_PIXELS:
         raise ValueError(
-            f"refusing full decode of {w}x{h} GIF "
+            f"refusing full decode of {sw}x{sh} GIF "
             f"(> {MAX_DECODE_PIXELS} px); parse_gif_header covers metadata"
         )
+    left, top, w, h, interlaced, lct, off = _first_image_descriptor(
+        payload, off
+    )
+    if w == 0 or h == 0:
+        raise ValueError("bad dimensions")
+    if left + w > sw or top + h > sh:
+        raise ValueError("GIF frame exceeds the logical screen")
     palette = lct if lct is not None else gct
     if palette is None:
         raise ValueError("GIF image has no color table")
@@ -217,7 +231,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
             src += n_rows
     else:
         ordered = rows
-    return palette[ordered]
+    frame = palette[ordered]
+    if (left, top, w, h) == (0, 0, sw, sh):
+        return frame
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    canvas[top:top + h, left:left + w] = frame
+    return canvas
 
 
 def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:

@@ -980,11 +980,18 @@ def srp_family(spark, sf_dir):
     component DataFrames and oracle fragments — the shared band CTEs
     are built once in _srp_cte_body — so the driver window checks the
     production similarity routes end to end."""
-    base = similarity.sim_srp_lsh(spark, sf_dir).select(
+    from .tables import load as _load
+
+    # ONE signature materialization threaded through all three
+    # components (each would otherwise localCheckpoint its own copy)
+    sig = similarity._srp_sig_df(
+        _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    base = similarity.sim_srp_lsh(spark, sf_dir, sig=sig).select(
         "part", "id_a", "id_b", "sig",
         _nul("double").alias("cosine"), _nul("int").alias("rnk"),
     )
-    topk = similarity.sim_topk_srp(spark, sf_dir).select(
+    topk = similarity.sim_topk_srp(spark, sf_dir, sig=sig).select(
         F.lit("topk").alias("part"),
         F.col("qid").alias("id_a"),
         F.col("vec_id").alias("id_b"),
@@ -992,7 +999,7 @@ def srp_family(spark, sf_dir):
         "cosine",
         "rnk",
     )
-    ddp = similarity.dedup_embedding_srp(spark, sf_dir).select(
+    ddp = similarity.dedup_embedding_srp(spark, sf_dir, sig=sig).select(
         F.lit("dedup").alias("part"),
         F.col("vec_a").alias("id_a"),
         F.col("vec_b").alias("id_b"),

@@ -222,7 +222,7 @@ def _srp_candidate_pairs(sig):
 
 
 @query("sim_srp_lsh", _srp_lsh_sql())
-def sim_srp_lsh(spark, sf_dir):
+def sim_srp_lsh(spark, sf_dir, sig=None):
     """LSH-bucketed embedding similarity — the second scale path the
     brief names beside IVF: sign-random-projection (SimHash-for-
     vectors) signatures, banded into equi-join buckets. Candidate
@@ -236,7 +236,8 @@ def sim_srp_lsh(spark, sf_dir):
     SRP_BITS ordered dots against the literal hyperplanes; the
     signature table is localCheckpoint-ed so the band self-join shares
     one materialization (the dedup_lsh_pairs staging pattern)."""
-    sig = _srp_sig_df(load(spark, sf_dir, "embeddings"))
+    if sig is None:
+        sig = _srp_sig_df(load(spark, sf_dir, "embeddings"))
     pairs = _srp_candidate_pairs(sig)
     sig_rows = sig.select(
         F.lit("sig").alias("part"),
@@ -253,7 +254,9 @@ def sim_srp_lsh(spark, sf_dir):
     return sig_rows.unionByName(pair_rows)
 
 
-DEDUP_COS_THRESHOLD = 0.25  # same floor as dedup_embedding_cosine
+DEDUP_COS_THRESHOLD = 0.25  # SINGLE SOURCE: the near-dup floor shared
+# by dedup_embedding_cosine (textops imports it) and the SRP route —
+# retuning one side cannot silently break the subset invariant
 
 
 @query(
@@ -276,7 +279,7 @@ DEDUP_COS_THRESHOLD = 0.25  # same floor as dedup_embedding_cosine
                 6) >= {DEDUP_COS_THRESHOLD}
     """,
 )
-def dedup_embedding_srp(spark, sf_dir):
+def dedup_embedding_srp(spark, sf_dir, sig=None):
     """Embedding near-dup pairs at the PRODUCTION shape: SRP-LSH band
     buckets generate candidates (no all-pairs compare, no id-range
     bound), then an exact cosine verify keeps pairs past the same
@@ -288,7 +291,9 @@ def dedup_embedding_srp(spark, sf_dir):
     by key (broadcast-able candidate list at real scale); norms are
     projected once per side before the pair-grain dot."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cand = _srp_candidate_pairs(_srp_sig_df(e)).select(
+    if sig is None:
+        sig = _srp_sig_df(e)
+    cand = _srp_candidate_pairs(sig).select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
     )
     en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
@@ -343,7 +348,7 @@ def dedup_embedding_srp(spark, sf_dir):
     FROM rnkd WHERE rnk <= {TOPK}
     """,
 )
-def sim_topk_srp(spark, sf_dir):
+def sim_topk_srp(spark, sf_dir, sig=None):
     """Top-k cosine at the PRODUCTION shape: SRP band buckets generate
     each query's candidate set (bucket equi-join, never a full scan of
     the corpus per query), then an exact cosine rerank orders the
@@ -354,7 +359,9 @@ def sim_topk_srp(spark, sf_dir):
     pytest pins that each query's true nearest neighbor survives the
     candidate cut (tests/test_operators.py)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = _srp_bands(_srp_sig_df(e))
+    if sig is None:
+        sig = _srp_sig_df(e)
+    bands = _srp_bands(sig)
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "band", "bkey"
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .registry import query
+from .similarity import DEDUP_COS_THRESHOLD
 from .tables import load
 
 N_MINHASH = 8  # minhash permutations (md5-keyed)
@@ -393,14 +394,15 @@ def doc_fingerprint_winnow(spark, sf_dir):
 
 @query(
     "dedup_embedding_cosine",
-    """
+    f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 4) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 150 AND b.vec_id < 150
       AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 6) >= 0.25
+                                       b.embedding::DOUBLE[]),
+                6) >= {DEDUP_COS_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -429,7 +431,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     cos = _dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(cos, 6) >= 0.25)
+        .filter(F.round(cos, 6) >= DEDUP_COS_THRESHOLD)
         .select(
             "vec_a",
             "vec_b",

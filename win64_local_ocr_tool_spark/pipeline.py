@@ -338,7 +338,13 @@ def run_curation_staged(
                 .collect()
             }
 
-    def stage(name: str, df: DataFrame, path: str) -> int:
+    def stage(name: str, df_thunk, path: str) -> int:
+        # df_thunk is a THUNK, not a DataFrame: several compute bodies
+        # (dedup_minhash_sig, _pairs_from_sig, _cc_from_pairs,
+        # boilerplate_scrub_chunks) run eager localCheckpoint()/count()
+        # work at DataFrame-BUILD time, so a resumed stage must not
+        # even construct its plan — otherwise "skipped" stages still
+        # pay nearly their full compute.
         if name in done_stages:
             n = spark.read.parquet(path).count()
             stats["stages"][name] = {
@@ -346,7 +352,7 @@ def run_curation_staged(
             }
             return int(n)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
+        df_thunk().write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()  # footer-only count
         wall_ms = int((time.time() - t0) * 1000)
         stats["stages"][name] = {"rows": int(n), "wall_ms": wall_ms}
@@ -360,83 +366,96 @@ def run_curation_staged(
             )
         return int(n)
 
-    stage("minhash_sig", dedup_minhash_sig(spark, docs_dir), f"{work_dir}/sig")
+    stage(
+        "minhash_sig",
+        lambda: dedup_minhash_sig(spark, docs_dir),
+        f"{work_dir}/sig",
+    )
     stage(
         "lsh_pairs",
-        _pairs_from_sig(spark.read.parquet(f"{work_dir}/sig")),
+        lambda: _pairs_from_sig(spark.read.parquet(f"{work_dir}/sig")),
         f"{work_dir}/pairs",
     )
     stage(
         "components",
-        _cc_from_pairs(spark.read.parquet(f"{work_dir}/pairs")),
+        lambda: _cc_from_pairs(spark.read.parquet(f"{work_dir}/pairs")),
         f"{work_dir}/components",
     )
+
     # canonical: the dedup payoff materialized as a full documents
     # table — the dup-drop kill-list broadcasts into one corpus scan,
     # and the stage dir follows the <dir>/documents.parquet layout so
     # the downstream operators run over it unchanged
-    comp = spark.read.parquet(f"{work_dir}/components")
-    dup_drops = comp.filter(
-        F.col("doc_id") != F.col("component")
-    ).select("doc_id")
-    canon_dir = f"{work_dir}/canonical"
-    stage(
-        "canonical",
-        load(spark, docs_dir, "documents").join(
+    def _canonical():
+        comp = spark.read.parquet(f"{work_dir}/components")
+        dup_drops = comp.filter(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
+        return load(spark, docs_dir, "documents").join(
             F.broadcast(dup_drops), "doc_id", "left_anti"
-        ),
-        f"{canon_dir}/documents.parquet",
-    )
+        )
+
+    canon_dir = f"{work_dir}/canonical"
+    stage("canonical", _canonical, f"{canon_dir}/documents.parquet")
     if benchmark_dir is not None:
-        bench = (
-            _word_ngrams(load(spark, benchmark_dir, "documents"), DECON_W, "g")
-            .select(F.md5("g").alias("h"))
-            .distinct()
-        )
-        corpus_grams = _word_ngrams(
-            load(spark, canon_dir, "documents"), DECON_W, "g"
-        ).select("doc_id", F.md5("g").alias("h"))
-        stage(
-            "decontaminate",
-            corpus_grams.join(F.broadcast(bench), "h")
-            .select("doc_id")
-            .distinct(),
-            f"{work_dir}/contaminated",
-        )
+
+        def _contaminated():
+            bench = (
+                _word_ngrams(
+                    load(spark, benchmark_dir, "documents"), DECON_W, "g"
+                )
+                .select(F.md5("g").alias("h"))
+                .distinct()
+            )
+            corpus_grams = _word_ngrams(
+                load(spark, canon_dir, "documents"), DECON_W, "g"
+            ).select("doc_id", F.md5("g").alias("h"))
+            return (
+                corpus_grams.join(F.broadcast(bench), "h")
+                .select("doc_id")
+                .distinct()
+            )
+
+        stage("decontaminate", _contaminated, f"{work_dir}/contaminated")
     stage(
         "scrub",
-        boilerplate_scrub_chunks(spark, canon_dir),
+        lambda: boilerplate_scrub_chunks(spark, canon_dir),
         f"{work_dir}/scrubbed",
     )
 
     # final assembly: quality gate over scrubbed text, kill-lists
     # broadcast-anti-joined against the one scan
-    scrubbed = spark.read.parquet(f"{work_dir}/scrubbed")
-    langs = load(spark, canon_dir, "documents").select("doc_id", "lang")
-    words = F.split("cleaned", " ")
-    n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda x: x.isin(*QUALITY_STOPWORDS)))
-    final = (
-        scrubbed.join(langs, "doc_id")
-        .select(
-            "doc_id", "lang", F.col("cleaned").alias("text"),
-            n_words.alias("n_words"), n_stop.alias("n_stop"),
-            F.length("cleaned").alias("n_chars"),
+    def _final():
+        scrubbed = spark.read.parquet(f"{work_dir}/scrubbed")
+        langs = load(spark, canon_dir, "documents").select("doc_id", "lang")
+        words = F.split("cleaned", " ")
+        n_words = F.size(words)
+        n_stop = F.size(
+            F.filter(words, lambda x: x.isin(*QUALITY_STOPWORDS))
         )
-        .filter(
-            (F.col("n_words") >= 20)
-            & (F.col("n_chars") >= 100)
-            & (
-                ~F.col("lang").isin("en", "de")
-                | (F.lit(10) * F.col("n_stop") >= F.col("n_words"))
+        final = (
+            scrubbed.join(langs, "doc_id")
+            .select(
+                "doc_id", "lang", F.col("cleaned").alias("text"),
+                n_words.alias("n_words"), n_stop.alias("n_stop"),
+                F.length("cleaned").alias("n_chars"),
             )
+            .filter(
+                (F.col("n_words") >= 20)
+                & (F.col("n_chars") >= 100)
+                & (
+                    ~F.col("lang").isin("en", "de")
+                    | (F.lit(10) * F.col("n_stop") >= F.col("n_words"))
+                )
+            )
+            .select("doc_id", "lang", "n_words", "text")
         )
-        .select("doc_id", "lang", "n_words", "text")
-    )
-    if benchmark_dir is not None:
-        cont = spark.read.parquet(f"{work_dir}/contaminated")
-        final = final.join(F.broadcast(cont), "doc_id", "left_anti")
-    n_final = stage("final_corpus", final, f"{work_dir}/corpus")
+        if benchmark_dir is not None:
+            cont = spark.read.parquet(f"{work_dir}/contaminated")
+            final = final.join(F.broadcast(cont), "doc_id", "left_anti")
+        return final
+
+    n_final = stage("final_corpus", _final, f"{work_dir}/corpus")
     stats["n_corpus"] = n_final
     stats["total_wall_ms"] = sum(
         s["wall_ms"] for s in stats["stages"].values()
