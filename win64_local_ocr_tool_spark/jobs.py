@@ -1,6 +1,13 @@
 """Job entry points (the analog of the reference's REST endpoints,
 ``routes.py:38-349`` -> spark-submit CLIs, SURVEY S12).
 
+Commands: ``extract`` (byte-identical extraction, partition-granular
+resume), ``curate`` (one-pass training-corpus materialization),
+``curate-staged`` (same chain as checkpointed stage tables with
+lineage commit markers + stage-granular --resume), ``pipeline``
+(crawl -> extraction -> curation as one job), ``stream`` (incremental
+Structured-Streaming ingest).
+
 Usage (cluster):
 
     spark-submit --py-files dist/win64_local_ocr_tool_spark.zip \\
