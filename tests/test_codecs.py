@@ -276,6 +276,29 @@ def test_jpeg_restart_markers_change_nothing():
     assert (a == b).all()
 
 
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker,
+    including RSTn and EOI inside/after entropy data — a conforming
+    third-party baseline JPEG using fill padding must decode to the
+    same pixels, not truncate to an error row (ADVICE r3)."""
+    img = _smooth_img(32, 48, 3, seed=4)
+    plain = encode_jpeg(img, quality=85, restart_interval=2)
+    want = decode_jpeg(plain)
+    sos = plain.find(b"\xff\xda")
+    assert sos > 0
+    head, body = plain[:sos], plain[sos:]
+    # fill bytes before every restart marker (FF inside entropy data is
+    # otherwise always FF00-stuffed, so FFD0-FFD7 here ARE markers)
+    for rst in range(0xD0, 0xD8):
+        body = body.replace(bytes([0xFF, rst]), bytes([0xFF, 0xFF, rst]))
+    # and a run of fill bytes before EOI
+    assert body.endswith(b"\xff\xd9")
+    body = body[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    padded = head + body
+    assert padded != plain
+    assert (decode_jpeg(padded) == want).all()
+
+
 def test_jpeg_decode_deterministic():
     img = _smooth_img(24, 40, 3, seed=11)
     payload = encode_jpeg(img, quality=75, subsample=True)
@@ -435,6 +458,14 @@ def test_gif_corrupt_payloads_raise_never_hang():
     for bad in bads:
         with pytest.raises(ValueError):
             decode_gif(bad)
+
+
+def test_gif_encode_rejects_empty_image():
+    """Zero-pixel input must raise the module-contract ValueError, not
+    leak an IndexError from the LZW encoder (ADVICE r3)."""
+    for shape in [(0, 5, 3), (5, 0, 3), (0, 0, 3)]:
+        with pytest.raises(ValueError, match="empty"):
+            encode_gif(np.zeros(shape, dtype=np.uint8))
 
 
 def test_gif_decode_refuses_oversize_images():

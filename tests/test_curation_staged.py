@@ -43,7 +43,7 @@ def staged(spark, tmp_path_factory):
 def test_all_stages_materialize_with_lineage(spark, staged):
     root, stats = staged
     expect = {
-        "minhash_sig", "lsh_pairs", "components", "canonical",
+        "exact", "minhash_sig", "lsh_pairs", "components", "canonical",
         "decontaminate", "scrub", "final_corpus",
     }
     assert set(stats["stages"]) == expect
@@ -190,7 +190,7 @@ def test_resume_rewinds_exactly_one_failed_stage(spark, staged, tmp_path):
     )
     resumed = {k for k, v in again["stages"].items() if v.get("resumed")}
     assert resumed == {
-        "minhash_sig", "lsh_pairs", "components", "canonical",
+        "exact", "minhash_sig", "lsh_pairs", "components", "canonical",
         "decontaminate",
     }
     assert _corpus_fingerprint(spark, str(work2)) == _corpus_fingerprint(
@@ -275,3 +275,90 @@ def test_real_sigkill_then_staged_resume_converges(spark, tmp_path):
     got = _corpus_fingerprint(spark, work)
     want = _corpus_fingerprint(spark, str(tmp_path / "work_clean"))
     assert got == want
+
+
+def test_stale_marker_is_detected_and_cascades(spark, staged, tmp_path):
+    """ADVICE r3: markers are keyed by stage name, so a LATER
+    non-resume rerun into the same workdir SIGKILLed mid-overwrite
+    leaves a corrupt stage table whose old done-marker still exists.
+    The skip path must validate the table (row count vs marker n_rows),
+    recompute the corrupt stage, and CASCADE the recompute to every
+    later stage."""
+    import shutil
+
+    root, stats = staged
+    work2 = tmp_path / "work"
+    shutil.copytree(root / "work", work2)
+    lin2 = tmp_path / "lineage"
+    spark.read.parquet(str(root / "lineage")).write.parquet(str(lin2))
+    # the "corruption": pairs table truncated to one row, marker intact
+    pairs = spark.read.parquet(str(work2 / "pairs")).limit(1).collect()
+    spark.createDataFrame(
+        pairs, schema="doc_a long, doc_b long"
+    ).write.mode("overwrite").parquet(str(work2 / "pairs"))
+
+    again = run_curation_staged(
+        spark, SF, str(work2),
+        benchmark_dir=str(root / "bench"),
+        lineage_dir=str(lin2),
+        resume=True,
+    )
+    resumed = {k for k, v in again["stages"].items() if v.get("resumed")}
+    assert resumed == {"exact", "minhash_sig"}  # everything later reran
+    assert again["stages"]["lsh_pairs"]["rows"] == stats["stages"][
+        "lsh_pairs"
+    ]["rows"]
+    assert _corpus_fingerprint(spark, str(work2)) == _corpus_fingerprint(
+        spark, str(root / "work")
+    )
+
+
+def test_exact_precollapse_preserves_canonical_set(spark, tmp_path):
+    """The round-4 exact pre-collapse stage must not change the kept
+    set: on a corpus with PLANTED exact-duplicate classes (sf0.001 has
+    none), the staged canonical table equals the uncollapsed registry
+    query dedup_canonical_docs (CC over ALL docs), and every stage
+    after 'exact' is O(distinct docs)."""
+    from pyspark.sql import functions as F
+
+    from win64_local_ocr_tool_spark.operators.registry import QUERIES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant: 3 exact copies of every doc_id % 7 == 0 doc (distinct ids)
+    dups = (
+        docs.filter("doc_id % 7 = 0")
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("k")))
+        .select(
+            (F.col("doc_id") + 100000 * F.col("k")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    corpus_dir = tmp_path / "corpus"
+    docs.unionByName(dups).write.parquet(
+        str(corpus_dir / "documents.parquet")
+    )
+
+    stats = run_curation_staged(
+        spark, str(corpus_dir), str(tmp_path / "work")
+    )
+    n_docs = docs.count()
+    n_all = n_docs + dups.count()
+    assert stats["stages"]["exact"]["rows"] == n_all  # full map
+    # every post-collapse stage sees only representatives
+    assert stats["stages"]["minhash_sig"]["rows"] <= n_docs
+
+    staged_kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(tmp_path / "work" / "canonical" / "documents.parquet")
+        ).select("doc_id").collect()
+    }
+    registry_kept = {
+        r["doc_id"]
+        for r in QUERIES["dedup_canonical_docs"](
+            spark, str(corpus_dir)
+        ).select("doc_id").collect()
+    }
+    assert staged_kept == registry_kept
+    # no planted duplicate survives (its original has the smaller id)
+    assert not any(d >= 100000 for d in staged_kept)

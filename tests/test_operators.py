@@ -340,3 +340,67 @@ def test_sim_topk_srp_finds_planted_neighbors(spark, tmp_path):
     b1 = brute[brute["rnk"] == 1].set_index("qid")
     for qid in top1.index:
         assert int(top1.loc[qid, "vec_id"]) == int(b1.loc[qid, "vec_id"])
+
+
+def test_bounded_bucket_pairs_cc_equal_and_linear(spark):
+    """The round-4 scale fix: within-bucket pair emission is capped
+    (all pairs <= BUCKET_PAIR_CAP members, min-id star above). Proves
+    on a planted 200-member megabucket that (a) output grows O(B) not
+    O(B^2), (b) oversized buckets emit star edges rooted at the min id
+    (diameter 2 -> CC converges in ~2 rounds, not B rounds as a chain
+    would), and (c) connected components are IDENTICAL to the uncapped
+    all-pairs join."""
+    from pyspark.sql import functions as F
+
+    from win64_local_ocr_tool_spark.operators.lshpairs import (
+        BUCKET_PAIR_CAP,
+        bounded_bucket_pairs,
+    )
+    from win64_local_ocr_tool_spark.operators.textops import _cc_from_pairs
+
+    mega = 200
+    assert mega > BUCKET_PAIR_CAP
+    rows = [(1000 + i, 0, "mega") for i in range(mega)]
+    # small buckets, one bridging into the megacluster via another band
+    rows += [(1, 1, "s1"), (2, 1, "s1"), (3, 1, "s1")]
+    rows += [(3, 2, "s2"), (7, 2, "s2")]
+    rows += [(7, 3, "bridge"), (1005, 3, "bridge")]
+    rows += [(42, 0, "lone")]  # singleton bucket -> no pairs
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bkey string")
+
+    bounded = bounded_bucket_pairs(bands, "doc_id", "doc_a", "doc_b")
+    got = bounded.collect()
+    # linear bound: mega emits B-1 star edges; small buckets all-pairs
+    assert len(got) == (mega - 1) + 3 + 1 + 1
+    mega_edges = [r for r in got if r["doc_a"] >= 1000 and r["doc_b"] >= 1000]
+    assert all(r["doc_a"] == 1000 for r in mega_edges)  # min-id star
+    assert len(mega_edges) == mega - 1
+
+    # uncapped reference join
+    a, b = bands.alias("a"), bands.alias("b")
+    uncapped = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    assert uncapped.count() == mega * (mega - 1) // 2 + 3 + 1 + 1
+
+    cc_bounded = {
+        (r["doc_id"], r["component"])
+        for r in _cc_from_pairs(bounded).collect()
+    }
+    cc_uncapped = {
+        (r["doc_id"], r["component"])
+        for r in _cc_from_pairs(uncapped).collect()
+    }
+    assert cc_bounded == cc_uncapped
+    # the bridge merges {1,2,3,7} with the megacluster under min label 1
+    comp_of = dict(cc_bounded)
+    assert comp_of[1005] == 1 and comp_of[1000] == 1 and comp_of[2] == 1

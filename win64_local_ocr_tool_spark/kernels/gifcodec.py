@@ -295,6 +295,11 @@ def encode_gif(img: np.ndarray) -> bytes:
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_gif wants HxWx3 uint8 RGB")
     h, w, _ = img.shape
+    if h == 0 or w == 0:
+        # module contract: invalid inputs raise ValueError (callers like
+        # media_resize map it to an 'error' row); without this guard the
+        # LZW encoder would hit indices[0] and leak an IndexError
+        raise ValueError("encode_gif: empty image")
     flat = img.reshape(-1, 3)
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:

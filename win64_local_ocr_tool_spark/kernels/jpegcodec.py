@@ -309,8 +309,11 @@ def _extend(v: int, s: int) -> int:
 
 def _split_entropy(payload: bytes, start: int):
     """Entropy-coded data from SOS body start: unstuff 0xFF00, split on
-    RSTn markers. Returns list of segments."""
+    RSTn markers. Returns list of segments. Also returns the offset one
+    past the entropy data (the next marker's 0xFF), so multi-scan
+    (progressive) callers can resume marker-level parsing there."""
     segs, cur, i, n = [], bytearray(), start, len(payload)
+    end = n
     while True:
         j = payload.find(b"\xff", i)
         if j < 0:
@@ -321,14 +324,20 @@ def _split_entropy(payload: bytes, start: int):
         if m == 0x00:
             cur.append(0xFF)
             i = j + 2
+        elif m == 0xFF:
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — skip ONE fill byte and reclassify from
+            # the next (a run collapses one byte per loop turn).
+            i = j + 1
         elif 0xD0 <= m <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
             i = j + 2
         else:
-            break  # EOI or next marker
+            end = j  # EOI or next marker (incl. progressive next-scan)
+            break
     segs.append(bytes(cur))
-    return segs
+    return segs, end
 
 
 def _decode_block(br: _BitReader, dc_lut, ac_lut, pred: int):
@@ -450,7 +459,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         coefs = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
         plan.append((hs, vs, qtabs[tq], htabs[(0, td)], htabs[(1, ta)], coefs))
 
-    segs = _split_entropy(payload, scan_start)
+    segs, _ = _split_entropy(payload, scan_start)
     seg_idx = 0
     br = _BitReader(segs[0])
     preds = [0] * len(plan)

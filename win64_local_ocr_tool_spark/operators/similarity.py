@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from .lshpairs import bounded_bucket_pairs, bounded_pairs_ctes
 from .registry import query
 from .tables import load
 
@@ -131,8 +132,11 @@ def _srp_signs() -> list[list[float]]:
 
 
 def _srp_cte_body() -> str:
-    """``sig`` + ``bands`` CTE fragment shared by ``sim_srp_lsh`` and
-    ``dedup_embedding_srp`` (compose, never copy — CLAUDE.md)."""
+    """``sig`` + ``bands`` + bounded-pair (``occ``/``bpairs``/``cand``)
+    CTE fragment shared by ``sim_srp_lsh``, ``dedup_embedding_srp`` and
+    ``sim_topk_srp`` (compose, never copy — CLAUDE.md). Pair emission
+    is the bounded per-bucket rule from operators/lshpairs.py — the
+    same cap/star discipline as the MinHash route."""
     signs = _srp_signs()
     bit_exprs = ", ".join(
         "CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -149,7 +153,9 @@ def _srp_cte_body() -> str:
              substr(sig, b.band * {width} + 1, {width}) AS bkey
       FROM sig CROSS JOIN
            (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
-    )"""
+    ),
+    {bounded_pairs_ctes("bands", "vec_id", "vec_a", "vec_b")},
+    cand AS (SELECT DISTINCT vec_a, vec_b FROM bpairs)"""
 
 
 def _srp_lsh_sql() -> str:
@@ -159,9 +165,8 @@ def _srp_lsh_sql() -> str:
            sig
     FROM sig
     UNION ALL
-    SELECT DISTINCT 'pair', a.vec_id, b.vec_id, CAST(NULL AS VARCHAR)
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    SELECT 'pair', vec_a, vec_b, CAST(NULL AS VARCHAR)
+    FROM cand
     """
 
 
@@ -203,21 +208,11 @@ def _srp_bands(sig):
 
 def _srp_candidate_pairs(sig):
     """(id_a < id_b) candidate pairs from the banded (band, bkey)
-    equi-join — never an all-pairs compare."""
-    bands = _srp_bands(sig)
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
+    equi-join — never an all-pairs compare, and BOUNDED per bucket
+    (lshpairs.bounded_bucket_pairs: all pairs up to BUCKET_PAIR_CAP
+    members, rep-star above, so a hot bucket emits O(B) not O(B^2))."""
+    return bounded_bucket_pairs(
+        _srp_bands(sig), "vec_id", "id_a", "id_b"
     )
 
 
@@ -262,12 +257,7 @@ DEDUP_COS_THRESHOLD = 0.25  # SINGLE SOURCE: the near-dup floor shared
 @query(
     "dedup_embedding_srp",
     f"""
-    WITH {_srp_cte_body()},
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-    )
+    WITH {_srp_cte_body()}
     SELECT c.vec_a, c.vec_b,
            round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                         eb.embedding::DOUBLE[]), 4) AS cosine
@@ -289,7 +279,12 @@ def dedup_embedding_srp(spark, sf_dir, sig=None):
     expression), with recall pinned by the planted-near-dup pytest
     gate (tests/test_similarity_srp.py). Candidates join embeddings
     by key (broadcast-able candidate list at real scale); norms are
-    projected once per side before the pair-grain dot."""
+    projected once per side before the pair-grain dot. Candidate
+    emission is bucket-bounded (lshpairs.BUCKET_PAIR_CAP): buckets past
+    the cap verify members against the bucket representative only —
+    the honest bounded-recall trade at the pathological megacluster
+    tail, where exact-dedup pre-collapse (pipeline.run_curation_staged)
+    has already removed identical payloads."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if sig is None:
         sig = _srp_sig_df(e)
@@ -324,7 +319,7 @@ def dedup_embedding_srp(spark, sf_dir, sig=None):
       SELECT vec_id AS qid, band, bkey FROM bands
       WHERE vec_id < {N_QUERIES}
     ),
-    cand AS (
+    qcand AS (
       SELECT DISTINCT q.qid, b.vec_id
       FROM qb q JOIN bands b ON q.band = b.band AND q.bkey = b.bkey
       WHERE b.vec_id <> q.qid
@@ -333,7 +328,7 @@ def dedup_embedding_srp(spark, sf_dir, sig=None):
       SELECT c.qid, c.vec_id,
              round(list_cosine_similarity(eq.embedding::DOUBLE[],
                                           ev.embedding::DOUBLE[]), 6) AS cos
-      FROM cand c
+      FROM qcand c
       JOIN embeddings eq ON eq.vec_id = c.qid
       JOIN embeddings ev ON ev.vec_id = c.vec_id
     ),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .lshpairs import bounded_bucket_pairs, bounded_pairs_ctes
 from .registry import query
 from .similarity import DEDUP_COS_THRESHOLD
 from .tables import load
@@ -193,7 +194,14 @@ def dedup_minhash_sig(spark, sf_dir):
     orders shingles by md5(s || ':' || shingle); the signature element
     is the lexicographic min — identical in any engine, no int-width
     hash semantics to match."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    return _sig_from_docs(load(spark, sf_dir, "documents"))
+
+
+def _sig_from_docs(docs):
+    """MinHash-signature compute body over an arbitrary (doc_id, text)
+    DataFrame — factored so the staged curation runner can feed it the
+    exact-dedup REPRESENTATIVES table instead of the raw corpus."""
+    sh = _word_ngrams(docs, SHINGLE_W, "shingle")
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
@@ -214,34 +222,36 @@ def _lsh_pairs_sql() -> str:
     bands = " UNION ALL ".join(band_exprs)
     return f"""
     WITH sig AS ({_minhash_sig_sql()}),
-    bands AS ({bands})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    bands AS ({bands}),
+    {bounded_pairs_ctes("bands", "doc_id", "doc_a", "doc_b")}
+    SELECT DISTINCT doc_a, doc_b FROM bpairs
     """
 
 
 @query("dedup_lsh_pairs", _lsh_pairs_sql())
 def dedup_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: band the signature, hash each band,
-    equi-join on (band, band-hash). The banding join is the scale path —
-    candidates are generated without comparing all pairs.
+    equi-join on (band, band-hash) with BOUNDED per-bucket emission
+    (operators/lshpairs.py: all pairs up to BUCKET_PAIR_CAP members,
+    star edges above — connected components provably unchanged, output
+    linear in corpus size even under a viral duplicate megacluster).
+    The banding join is the scale path — candidates are generated
+    without comparing all pairs; the cap is the round-4 fix that keeps
+    a single hot bucket from emitting B^2/2 rows.
 
     Plan shape matters here: banding is ONE pass over the signature
     table (explode of an inline band array), not a UNION of per-band
     selects — a union would re-aggregate the minhash signature once per
     band per join side (8x at 4 bands; no ReusedExchange across the
-    branches). The exploded band table is then ``localCheckpoint``-ed so
-    the self-join's two sides share one materialization — the same
-    "write the band table, then join it to itself" staging a 100 TB
-    dedup run does."""
+    branches). This restores the reference's "all joins are
+    document-local" boundedness (SURVEY §2.3) at corpus scale."""
     return _pairs_from_sig(dedup_minhash_sig(spark, sf_dir))
 
 
 def _pairs_from_sig(sig):
-    """LSH banding + bucket self-join over a signature table — the
-    compute body of ``dedup_lsh_pairs``, factored so the staged
-    curation runner (pipeline.run_curation_staged) can feed it a
+    """LSH banding + bounded bucket pair emission over a signature
+    table — the compute body of ``dedup_lsh_pairs``, factored so the
+    staged curation runner (pipeline.run_curation_staged) can feed it a
     MATERIALIZED signature parquet instead of recomputing shingles."""
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = []
@@ -255,22 +265,8 @@ def _pairs_from_sig(sig):
     bands = (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-        .localCheckpoint()
     )
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return bounded_bucket_pairs(bands, "doc_id", "doc_a", "doc_b")
 
 
 _HI_HEX = "'8','9','a','b','c','d','e','f'"

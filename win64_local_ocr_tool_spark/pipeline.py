@@ -277,10 +277,25 @@ def run_curation_staged(
     rewinds one stage, not the whole pipeline. Per-stage lineage rows
     (stage, n_rows, wall_ms) land beside the extraction lineage.
 
-    Chain: minhash signatures -> LSH candidate pairs -> connected
+    Chain: exact-dedup pre-collapse -> minhash signatures (over
+    representatives only) -> LSH candidate pairs -> connected
     components -> canonical (deduped) docs table -> (optional)
     benchmark decontamination -> boilerplate scrub -> final
     quality-gated corpus.
+
+    The exact stage (round-4 verdict item 2) maps every doc to the
+    min-id representative of its md5(text) class, and every later
+    stage sees only representatives. This keeps each stage O(distinct
+    docs) — a viral 10^7-page mirror cluster collapses to ONE row
+    before any shingle explodes — and provably changes nothing: an
+    exact duplicate has the same text, hence the same shingles,
+    signature and band keys as its representative, so every LSH link
+    through a duplicate has a twin through its representative; the
+    component of each exact class equals its representative's
+    component; and the cluster-min doc is always its own md5-class min
+    (anything below it in the class would also be below it in the
+    cluster). Kept set identical; pytest-proved against the uncollapsed
+    registry query (tests/test_curation_staged.py).
 
     Two ordering rules a production pipeline follows, both encoded
     here: (1) the boilerplate census runs over the DEDUPED corpus —
@@ -305,52 +320,74 @@ def run_curation_staged(
     stage with a done-row and re-runs everything else with an
     overwrite. A kill mid-write leaves a partial table and no marker
     -> that stage reruns; a kill between write and marker reruns one
-    completed write — idempotent either way. Engine-agnostic: no
-    reliance on parquet ``_SUCCESS`` files, so stage tables can move
-    behind the Iceberg ``merge_by_key`` seam unchanged."""
+    completed write — idempotent either way. Markers alone are not
+    trusted blindly: a LATER non-resume rerun into the same work_dir
+    killed mid-overwrite leaves a corrupt stage table while the first
+    run's marker still exists, so a skipped stage is VALIDATED against
+    its marker (footer-only row count == the latest done-row's n_rows;
+    unreadable/mismatched -> recompute), and any recompute CASCADES to
+    every later stage (their tables may derive from the corrupt one).
+    Engine-agnostic: no reliance on parquet ``_SUCCESS`` files, so
+    stage tables can move behind the Iceberg ``merge_by_key`` seam
+    unchanged."""
     from .operators.textops import (
         DECON_W,
         QUALITY_STOPWORDS,
         _cc_from_pairs,
         _pairs_from_sig,
+        _sig_from_docs,
         _word_ngrams,
         boilerplate_scrub_chunks,
-        dedup_minhash_sig,
     )
     from .operators.tables import load
 
     stats: dict = {"stages": {}, "work_dir": work_dir}
 
-    done_stages: set[str] = set()
+    # latest done-marker row count per stage: the skip path validates
+    # the on-disk table against it (ADVICE r3: marker keyed by stage
+    # name alone would trust a table a LATER killed rerun corrupted)
+    done_stages: dict[str, int] = {}
     if resume:
         if not lineage_dir:
             raise ValueError("resume=True requires lineage_dir")
         lin = read_lineage(spark, lineage_dir)
         if lin is not None:
-            done_stages = {
-                r["stage"][len("curate_"):]
-                for r in lin.filter(
+            latest: dict[str, tuple] = {}
+            for r in (
+                lin.filter(
                     (F.col("status") == "done")
                     & F.col("stage").startswith("curate_")
                 )
-                .select("stage")
-                .distinct()
+                .select("stage", "n_rows", "ts")
                 .collect()
-            }
+            ):
+                name = r["stage"][len("curate_"):]
+                if name not in latest or r["ts"] > latest[name][0]:
+                    latest[name] = (r["ts"], r["n_rows"])
+            done_stages = {k: int(v[1]) for k, v in latest.items()}
+
+    state = {"dirty": False}  # a recompute invalidates later stages
 
     def stage(name: str, df_thunk, path: str) -> int:
         # df_thunk is a THUNK, not a DataFrame: several compute bodies
-        # (dedup_minhash_sig, _pairs_from_sig, _cc_from_pairs,
+        # (_sig_from_docs, _pairs_from_sig, _cc_from_pairs,
         # boilerplate_scrub_chunks) run eager localCheckpoint()/count()
         # work at DataFrame-BUILD time, so a resumed stage must not
         # even construct its plan — otherwise "skipped" stages still
         # pay nearly their full compute.
-        if name in done_stages:
-            n = spark.read.parquet(path).count()
-            stats["stages"][name] = {
-                "rows": int(n), "wall_ms": 0, "resumed": True,
-            }
-            return int(n)
+        if name in done_stages and not state["dirty"]:
+            try:
+                n = spark.read.parquet(path).count()  # footer-only
+            except Exception:
+                n = -1  # unreadable/missing table -> recompute
+            if n == done_stages[name]:
+                stats["stages"][name] = {
+                    "rows": int(n), "wall_ms": 0, "resumed": True,
+                }
+                return int(n)
+            # stale marker (e.g. a later non-resume rerun SIGKILLed
+            # mid-overwrite left a partial table): fall through
+        state["dirty"] = True
         t0 = time.time()
         df_thunk().write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()  # footer-only count
@@ -366,9 +403,35 @@ def run_curation_staged(
             )
         return int(n)
 
+    # exact pre-collapse: (doc_id, representative) — one shuffle on the
+    # 32-char fp (text never travels), min-id per md5 class via window
+    def _exact():
+        from pyspark.sql.window import Window as W
+
+        d = load(spark, docs_dir, "documents").select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        return d.select(
+            "doc_id",
+            F.min("doc_id").over(W.partitionBy("fp")).alias("representative"),
+        )
+
+    stage("exact", _exact, f"{work_dir}/exact")
+
+    def _reps():
+        # representatives' documents: equi-join on doc_id (co-located
+        # at deployment scale where both tables are bucketed by doc_id;
+        # the rep set is O(distinct docs), so never broadcast)
+        reps = (
+            spark.read.parquet(f"{work_dir}/exact")
+            .filter(F.col("doc_id") == F.col("representative"))
+            .select("doc_id")
+        )
+        return load(spark, docs_dir, "documents").join(reps, "doc_id")
+
     stage(
         "minhash_sig",
-        lambda: dedup_minhash_sig(spark, docs_dir),
+        lambda: _sig_from_docs(_reps()),
         f"{work_dir}/sig",
     )
     stage(
@@ -383,16 +446,25 @@ def run_curation_staged(
     )
 
     # canonical: the dedup payoff materialized as a full documents
-    # table — the dup-drop kill-list broadcasts into one corpus scan,
-    # and the stage dir follows the <dir>/documents.parquet layout so
-    # the downstream operators run over it unchanged
+    # table — keep exact representatives (equi-join on the exact map),
+    # minus near-dup non-canonical reps (tiny CC kill-list, broadcast
+    # into an anti-join). One corpus scan; the stage dir follows the
+    # <dir>/documents.parquet layout so the downstream operators run
+    # over it unchanged.
     def _canonical():
         comp = spark.read.parquet(f"{work_dir}/components")
         dup_drops = comp.filter(
             F.col("doc_id") != F.col("component")
         ).select("doc_id")
-        return load(spark, docs_dir, "documents").join(
-            F.broadcast(dup_drops), "doc_id", "left_anti"
+        return (
+            load(spark, docs_dir, "documents")
+            .join(
+                spark.read.parquet(f"{work_dir}/exact").filter(
+                    F.col("doc_id") == F.col("representative")
+                ).select("doc_id"),
+                "doc_id",
+            )
+            .join(F.broadcast(dup_drops), "doc_id", "left_anti")
         )
 
     canon_dir = f"{work_dir}/canonical"
