@@ -32,10 +32,29 @@ level bounds the compute honestly (same protocol as
 scripts/scaling_evidence.py; this VM throttles above ~16-22 busy
 cores, so read the 8->32 pair against the measured hardware ceiling).
 
-Usage: python scripts/dedup_stress.py [n_docs] [levels...]
+``--adversarial`` (VERDICT r3 items 1/5) swaps in the skew-hostile
+corpus a crawl actually throws at a dedup pipeline:
+
+- an EXACT-duplicate megacluster: the first MEGA_EXACT (10k) ids all
+  carry byte-identical text (one parked-domain mirror). The staged
+  chain's exact pre-collapse stage must reduce it to ONE row before
+  any shingle explodes.
+- a NEAR-duplicate megacluster: the next MEGA_NEAR (2k) ids share a
+  seed but each flips one word at a doc_id-keyed position — not exact
+  dups, so they reach minhash, and their band buckets hold ~2k members
+  each. Bounded pair emission (lshpairs.BUCKET_PAIR_CAP) must emit
+  O(B) star edges per bucket, not B^2/2 pairs.
+- Zipf-ish site mix: site = floor(n_sites^u) for a hash-uniform u, so
+  a handful of sites own a large share of docs (hot boilerplate keys).
+
+The run asserts every stage's output rows stay O(corpus) and reports
+the constants (pairs/doc, sig rows vs distinct docs).
+
+Usage: python scripts/dedup_stress.py [n_docs] [levels...] [--adversarial]
        (defaults: 1_000_000 docs, levels 8 32)
-Appends/updates the "## Composed dedup-pipeline stress" section in
-BENCH.md when run at >= 1M docs; prints one RESULT json line always.
+Appends/updates its BENCH.md section ("## Composed dedup-pipeline
+stress" / "## Adversarial skew stress") when run at >= 1M docs; prints
+one RESULT json line always.
 NOTHING else may run concurrently (noisy-VM discipline).
 """
 
@@ -47,10 +66,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-LEVELS = [int(x) for x in sys.argv[2:]] or [8, 32]
+_args = [a for a in sys.argv[1:] if a != "--adversarial"]
+ADVERSARIAL = "--adversarial" in sys.argv[1:]
+N_DOCS = int(_args[0]) if _args else 1_000_000
+LEVELS = [int(x) for x in _args[1:]] or [8, 32]
 VOCAB_N = 512
 CORPUS_VERSION = 1
+MEGA_EXACT = 10_000  # adversarial: ids [0, MEGA_EXACT) byte-identical
+MEGA_NEAR = 2_000    # adversarial: next ids near-dup one shared seed
 
 RUN_SNIPPET = r"""
 import json, shutil, sys, time
@@ -82,7 +105,7 @@ spark.stop()
 """
 
 
-def synth_corpus(spark, n: int, parts: int = 256):
+def synth_corpus(spark, n: int, parts: int = 256, adversarial: bool = False):
     """Deterministic planted-structure corpus (docstring above)."""
     from win64_local_ocr_tool_spark.operators.textops import (
         QUALITY_STOPWORDS,
@@ -97,19 +120,45 @@ def synth_corpus(spark, n: int, parts: int = 256):
     V = F.array(*[F.lit(w) for w in vocab])
     n_sites = max(64, n // 100)
     d = spark.range(0, n, 1, parts).select(F.col("id").alias("doc_id"))
-    m = (F.col("doc_id") % 20).alias("m")
-    seed = (
-        F.when(F.col("doc_id") % 20 <= 3,
-               F.col("doc_id") - F.col("doc_id") % 20)
-        .otherwise(F.col("doc_id"))
-        .alias("seed")
+    base_m = F.col("doc_id") % 20
+    base_seed = F.when(base_m <= 3, F.col("doc_id") - base_m).otherwise(
+        F.col("doc_id")
     )
+    if adversarial:
+        assert n > (MEGA_EXACT + MEGA_NEAR) * 2
+        # m=8: exact-dup megacluster member; m=9: near-dup megacluster
+        m = (
+            F.when(F.col("doc_id") < MEGA_EXACT, F.lit(8))
+            .when(F.col("doc_id") < MEGA_EXACT + MEGA_NEAR, F.lit(9))
+            .otherwise(base_m)
+            .alias("m")
+        )
+        seed = (
+            F.when(F.col("doc_id") < MEGA_EXACT, F.lit(0))
+            .when(
+                F.col("doc_id") < MEGA_EXACT + MEGA_NEAR, F.lit(MEGA_EXACT)
+            )
+            .otherwise(base_seed)
+            .alias("seed")
+        )
+    else:
+        m = base_m.alias("m")
+        seed = base_seed.alias("seed")
     d = d.select("doc_id", m, seed)
+    site_u = F.pmod(F.xxhash64("seed", F.lit(777)), F.lit(1_000_000))
+    if adversarial:
+        # Zipf-ish heavy tail: site = floor(n_sites^u), u ~ U[0,1) — a
+        # log-uniform map, so low site ids own a large share of seeds
+        site = F.floor(
+            F.exp(site_u / F.lit(1_000_000.0) * F.log(F.lit(float(n_sites))))
+        )
+    else:
+        site = F.pmod(F.xxhash64("seed", F.lit(777)), F.lit(n_sites))
     d = d.select(
         "doc_id", "m", "seed",
         (F.lit(56) + F.pmod(F.xxhash64("seed"), F.lit(4)) * 8)
         .cast("int").alias("nw"),
-        F.pmod(F.xxhash64("seed", F.lit(777)), F.lit(n_sites)).alias("site"),
+        site.alias("site"),
     )
 
     def pick(h):
@@ -120,7 +169,17 @@ def synth_corpus(spark, n: int, parts: int = 256):
         lambda i: F.when(
             F.col("m").isin(1, 2) & (i == F.lit(5) + F.col("m") * 7),
             pick(F.xxhash64(F.col("seed"), i + F.lit(9999))),
-        ).otherwise(pick(F.xxhash64(F.col("seed"), i))),
+        )
+        .when(
+            # near-dup megacluster: flip ONE word at a doc_id-keyed
+            # position with a doc_id-keyed replacement — every member
+            # differs from the seed at one position and from every
+            # other member at <= two, so none are exact duplicates
+            (F.col("m") == 9)
+            & (i == F.pmod(F.xxhash64("doc_id"), F.lit(40)) + 1),
+            pick(F.xxhash64(F.col("doc_id"), i + F.lit(4321))),
+        )
+        .otherwise(pick(F.xxhash64(F.col("seed"), i))),
     )
     boiler = F.transform(
         F.sequence(F.lit(1), F.lit(8)),
@@ -161,18 +220,24 @@ def main() -> None:
     from win64_local_ocr_tool_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    root = f"/tmp/dedup_stress/v{CORPUS_VERSION}_n{N_DOCS}"
+    tag = "_adv" if ADVERSARIAL else ""
+    root = f"/tmp/dedup_stress/v{CORPUS_VERSION}{tag}_n{N_DOCS}"
     docs_dir, bench_dir = f"{root}/docs", f"{root}/bench"
     if not os.path.exists(f"{docs_dir}/documents.parquet/_SUCCESS"):
         spark = get_spark("gen", master="local[32]")
-        synth_corpus(spark, N_DOCS).write.mode("overwrite").parquet(
-            f"{docs_dir}/documents.parquet"
-        )
+        synth_corpus(
+            spark, N_DOCS, adversarial=ADVERSARIAL
+        ).write.mode("overwrite").parquet(f"{docs_dir}/documents.parquet")
         corpus = spark.read.parquet(f"{docs_dir}/documents.parquet")
-        bench = (
-            corpus.filter(
-                (F.col("doc_id") % 997 == 0) & (F.col("doc_id") % 20 > 3)
+        bench_pred = (F.col("doc_id") % 997 == 0) & (
+            F.col("doc_id") % 20 > 3
+        )
+        if ADVERSARIAL:  # keep megacluster text out of the eval suite
+            bench_pred = bench_pred & (
+                F.col("doc_id") >= MEGA_EXACT + MEGA_NEAR
             )
+        bench = (
+            corpus.filter(bench_pred)
             .select(
                 "doc_id",
                 F.array_join(
@@ -201,6 +266,7 @@ def main() -> None:
     eff = round((tp[hi] / tp[lo]) / (hi / lo), 3)
     result = {
         "n_docs": N_DOCS,
+        "adversarial": ADVERSARIAL,
         "levels": {
             str(c): {
                 "wall_s": runs[c]["wall_s"],
@@ -214,29 +280,30 @@ def main() -> None:
         "scaling_pair": f"local[{lo}] -> local[{hi}]",
         "scaling_efficiency": eff,
     }
+    st = runs[lo]["stages"]
+    # linearity gates: no stage's output may exceed c*N, with c printed
+    per_doc = {k: round(v["rows"] / N_DOCS, 3) for k, v in st.items()}
+    result["stage_rows_per_doc"] = per_doc
+    assert all(v["rows"] <= 3 * N_DOCS for v in st.values()), per_doc
+    if ADVERSARIAL:
+        # exact pre-collapse killed the 10k megacluster before minhash
+        assert st["minhash_sig"]["rows"] <= N_DOCS - MEGA_EXACT + 1, st
+        # bounded bucket emission: the 2k near-dup megacluster emits
+        # O(B) star edges, not B^2/2 ~ 2M pairs
+        assert st["lsh_pairs"]["rows"] <= 1.0 * N_DOCS, per_doc
     print("RESULT " + json.dumps(result))
 
     if N_DOCS < 1_000_000:
         return
     stage_rows = "\n".join(
         f"| {name} | {runs[lo]['stages'][name]['rows']} | "
+        f"{per_doc[name]} | "
         f"{runs[lo]['stages'][name]['wall_ms'] / 1000:.1f} | "
         f"{runs[hi]['stages'][name]['wall_ms'] / 1000:.1f} |"
         for name in runs[lo]["stages"]
     )
-    md = f"""## Composed dedup-pipeline stress ({N_DOCS:,} docs)
-
-One staged job (`pipeline.run_curation_staged`): minhash sig -> LSH
-pairs -> connected components -> canonical corpus -> decontaminate ->
-boilerplate scrub -> quality-gated final corpus, every stage
-materialized to parquet with a lineage row (the multi-day-production
-checkpoint shape). Corpus: {N_DOCS:,} planted-structure docs
-(`scripts/dedup_stress.py` docstring — 15% near/exact dup members,
-per-site boilerplate, planted benchmark contamination). Chain is pure
-JVM (no Python UDF workers); levels pinned, fresh JVM, run alone.
-
-| stage | rows | local[{lo}] wall (s) | local[{hi}] wall (s) |
-|---|---|---|---|
+    common = f"""| stage | rows | rows/doc | local[{lo}] wall (s) | local[{hi}] wall (s) |
+|---|---|---|---|---|
 {stage_rows}
 
 - end-to-end: local[{lo}] {runs[lo]['wall_s']}s
@@ -246,17 +313,54 @@ JVM (no Python UDF workers); levels pinned, fresh JVM, run alone.
   see the scaling-evidence table above; the VM throttles above ~16-22
   busy cores).
 - final corpus: {runs[lo]['n_corpus']:,} docs; checksum-identical
-  across levels (order-insensitive crc32 over (doc_id, md5(text))).
-- every stage's output is O(corpus): pairs ~= 0.36N (planted clusters
-  + bounded boilerplate collisions), components cover only pair
-  members, kill-lists broadcast — no stage materializes anything
-  super-linear.
+  across levels (order-insensitive crc32 over (doc_id, md5(text)))."""
+    if ADVERSARIAL:
+        md = f"""## Adversarial skew stress ({N_DOCS:,} docs: megacluster + Zipf sites)
+
+The skew-hostile corpus (`scripts/dedup_stress.py --adversarial`): a
+{MEGA_EXACT:,}-member EXACT-duplicate megacluster, a {MEGA_NEAR:,}-member
+NEAR-duplicate megacluster (each member one word off a shared seed),
+Zipf-distributed site sizes (hot boilerplate keys), plus the base
+planted near/exact-dup clusters. Same staged chain, same protocol
+(pinned levels, fresh JVM, run alone).
+
+{common}
+- the run ASSERTS linearity: every stage's output rows <= 3N (the
+  rows/doc column holds the measured constants); minhash signatures
+  cover at most N - {MEGA_EXACT:,} + 1 docs (the exact pre-collapse
+  stage reduced the megacluster to one representative before any
+  shingle exploded); LSH candidate pairs <= 1.0N — the near-dup
+  megacluster's ~{MEGA_NEAR // 1000}k-member buckets emit O(B) min-id
+  star edges (lshpairs.BUCKET_PAIR_CAP), where the uncapped self-join
+  would emit ~{MEGA_NEAR * (MEGA_NEAR - 1) // 2 // 1_000_000}M pairs
+  from those buckets alone.
+
+Generated by `scripts/dedup_stress.py --adversarial`.
+"""
+        marker = "## Adversarial skew stress"
+    else:
+        md = f"""## Composed dedup-pipeline stress ({N_DOCS:,} docs)
+
+One staged job (`pipeline.run_curation_staged`): exact pre-collapse ->
+minhash sig (representatives only) -> LSH pairs -> connected
+components -> canonical corpus -> decontaminate -> boilerplate scrub
+-> quality-gated final corpus, every stage materialized to parquet
+with a lineage row (the multi-day-production checkpoint shape).
+Corpus: {N_DOCS:,} planted-structure docs (`scripts/dedup_stress.py`
+docstring — 15% near/exact dup members, per-site boilerplate, planted
+benchmark contamination). Chain is pure JVM (no Python UDF workers);
+levels pinned, fresh JVM, run alone.
+
+{common}
+- every stage's output is O(corpus) (rows/doc column): components
+  cover only pair members, kill-lists broadcast — no stage
+  materializes anything super-linear.
 
 Generated by `scripts/dedup_stress.py`.
 """
+        marker = "## Composed dedup-pipeline stress"
     bench_path = os.path.join(REPO, "BENCH.md")
     prev = open(bench_path).read()
-    marker = "## Composed dedup-pipeline stress"
     idx = prev.find(marker)
     if idx != -1:
         end = prev.find("\n## ", idx + 1)

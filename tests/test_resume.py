@@ -86,3 +86,52 @@ def test_rerun_of_done_partition_is_idempotent(spark, tmp_path):
     second = spark.read.parquet(out).toPandas().sort_values("url")
     assert (first["extracted_text"].values == second["extracted_text"].values).all()
     assert len(first) == len(second) == 200
+
+
+def test_straggler_report_finds_planted_fat_partition(spark, tmp_path):
+    """lineage.straggler_report over a REAL lineage dir (written via
+    append_lineage, multiple runs): the planted fat partition must rank
+    first in its stage with the right integer skew ratio, and a resume
+    run's stale duplicate done-row for the same key must be superseded
+    by the latest row."""
+    import time
+
+    from win64_local_ocr_tool_spark.lineage import (
+        append_lineage,
+        read_lineage,
+        straggler_report,
+    )
+
+    lin_dir = str(tmp_path / "lineage")
+    # run 1: 15 uniform partitions (100 rows) + one fat one (5000 rows)
+    rows = [(k, 100, 0) for k in range(15)] + [(15, 5000, 2)]
+    counts = spark.createDataFrame(
+        rows, schema="partition_key int, n_rows long, n_errors long"
+    )
+    append_lineage(spark, lin_dir, "extract", counts, wall_ms=1234)
+    # run 2 (resume): re-logs key 3 with a DIFFERENT count — the report
+    # must use this latest row, not double-count
+    time.sleep(0.01)
+    again = spark.createDataFrame(
+        [(3, 120, 0)], schema="partition_key int, n_rows long, n_errors long"
+    )
+    append_lineage(spark, lin_dir, "extract", again, wall_ms=99)
+    # an unrelated stage with its own (non-straggling) profile
+    other = spark.createDataFrame(
+        [(k, 50, 0) for k in range(4)],
+        schema="partition_key int, n_rows long, n_errors long",
+    )
+    append_lineage(spark, lin_dir, "curate_exact", other, wall_ms=5)
+
+    rep = straggler_report(read_lineage(spark, lin_dir), top_k=3).collect()
+    by_stage = {}
+    for r in rep:
+        by_stage.setdefault(r["stage"], []).append(r)
+    ext = sorted(by_stage["extract"], key=lambda r: r["rnk"])
+    assert len(ext) == 3
+    assert ext[0]["partition_key"] == 15 and ext[0]["n_rows"] == 5000
+    assert ext[0]["rnk"] == 1
+    assert ext[0]["p50_rows"] == 100  # median of the uniform bulk
+    assert ext[0]["skew_x1000"] == 50000  # 5000*1000 div 100
+    assert ext[1]["partition_key"] == 3 and ext[1]["n_rows"] == 120
+    assert all(r["n_rows"] == 50 for r in by_stage["curate_exact"])

@@ -85,6 +85,69 @@ def prune_done(
     )
 
 
+def straggler_report(lin: DataFrame, top_k: int = 5) -> DataFrame:
+    """Operational skew surface over the checkpoint table (VERDICT r3
+    item 7): per stage, the top-k fattest partitions with exact integer
+    percentile context, so a 100 TB operator can see stragglers from
+    the lineage table alone — no Spark UI, no event logs.
+
+    Per (stage, partition_key) the LATEST done-row wins (resumes append
+    duplicates). Output grain: one row per stage per top-k partition by
+    n_rows, carrying the stage's discrete p50/p99 of per-partition rows
+    and an integer skew ratio (n_rows*1000 div p50 — no float columns,
+    repo invariant). Percentiles are DISCRETE by explicit rank
+    arithmetic (element at ceil(q*n) of the sorted list) — identical in
+    Spark and DuckDB, no interpolation semantics to match. The
+    per-stage collect_list is bounded by the bucket count (the
+    checkpoint table is tiny by construction — one row per partition
+    per stage)."""
+    from pyspark.sql.window import Window as W
+
+    base = lin.filter(F.col("status") == "done").select(
+        "stage", "partition_key", "n_rows", "wall_ms", "ts"
+    )
+    latest = (
+        base.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("stage", "partition_key").orderBy(
+                    F.col("ts").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ts")
+    )
+    arr = F.array_sort(F.collect_list("n_rows"))
+    cnt = F.count("*")
+    stats = latest.groupBy("stage").agg(
+        F.element_at(arr, F.ceil(cnt * 0.5).cast("int")).alias("p50_rows"),
+        F.element_at(arr, F.ceil(cnt * 0.99).cast("int")).alias("p99_rows"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("stage").orderBy(
+            F.col("n_rows").desc(), "partition_key"
+        )
+    )
+    return (
+        latest.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= top_k)
+        .join(stats, "stage")
+        .select(
+            "stage",
+            "partition_key",
+            "n_rows",
+            "wall_ms",
+            "rnk",
+            "p50_rows",
+            "p99_rows",
+            F.expr("n_rows * 1000 div greatest(p50_rows, 1)").alias(
+                "skew_x1000"
+            ),
+        )
+    )
+
+
 def append_lineage(
     spark: SparkSession,
     lineage_dir: str,

@@ -486,30 +486,76 @@ def c_json_roundtrip(spark, sf_dir):
     "j5_semi_anti_resume",
     f"""
     SELECT 'anti' AS part, c_custkey, c_name,
-           CAST(NULL AS DOUBLE) AS c_acctbal
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS wall_ms,
+           CAST(NULL AS INTEGER) AS rnk, CAST(NULL AS BIGINT) AS p50_rows,
+           CAST(NULL AS BIGINT) AS p99_rows,
+           CAST(NULL AS BIGINT) AS skew_x1000
     FROM ({ORACLES["j5_resume_anti_join"]})
     UNION ALL
-    SELECT 'semi', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+    SELECT 'semi', c_custkey, CAST(NULL AS VARCHAR), c_acctbal,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({ORACLES["j5_semi_join"]})
+    UNION ALL
+    SELECT 'straggler', CAST(partition_key AS BIGINT), stage,
+           CAST(NULL AS DOUBLE), n_rows, wall_ms, rnk, p50_rows,
+           p99_rows, skew_x1000
+    FROM ({ORACLES["lineage_stragglers"]})
     """,
 )
 def j5_semi_anti_resume(spark, sf_dir):
     """SURVEY J5/U5 — left-anti (THE resume primitive: all EXCEPT done,
-    lineage.prune_done's shape) + left-semi (EXISTS) folded.
-    Components: relational.j5_resume_anti_join/j5_semi_join."""
+    lineage.prune_done's shape) + left-semi (EXISTS) + the lineage
+    straggler report (round-4 fold: lineage.straggler_report over a
+    deterministic lineage-shaped table — the operational skew surface
+    of the checkpoint machinery this family models; part='straggler'
+    carries (partition_key, stage) in the key slots plus the report's
+    integer percentile/skew columns, NULL on the other parts).
+    Components: relational.j5_resume_anti_join/j5_semi_join/
+    lineage_stragglers."""
     anti = relational.j5_resume_anti_join(spark, sf_dir)
     semi = relational.j5_semi_join(spark, sf_dir)
-    return anti.select(
-        F.lit("anti").alias("part"),
-        "c_custkey",
-        "c_name",
-        _nul("double").alias("c_acctbal"),
-    ).unionByName(
-        semi.select(
-            F.lit("semi").alias("part"),
+    strag = relational.lineage_stragglers(spark, sf_dir)
+    pad = [
+        _nul("long").alias("n_rows"),
+        _nul("long").alias("wall_ms"),
+        _nul("int").alias("rnk"),
+        _nul("long").alias("p50_rows"),
+        _nul("long").alias("p99_rows"),
+        _nul("long").alias("skew_x1000"),
+    ]
+    return (
+        anti.select(
+            F.lit("anti").alias("part"),
             "c_custkey",
-            _nul("string").alias("c_name"),
-            "c_acctbal",
+            "c_name",
+            _nul("double").alias("c_acctbal"),
+            *pad,
+        )
+        .unionByName(
+            semi.select(
+                F.lit("semi").alias("part"),
+                "c_custkey",
+                _nul("string").alias("c_name"),
+                "c_acctbal",
+                *pad,
+            )
+        )
+        .unionByName(
+            strag.select(
+                F.lit("straggler").alias("part"),
+                F.col("partition_key").cast("long").alias("c_custkey"),
+                F.col("stage").alias("c_name"),
+                _nul("double").alias("c_acctbal"),
+                "n_rows",
+                "wall_ms",
+                "rnk",
+                "p50_rows",
+                "p99_rows",
+                "skew_x1000",
+            )
         )
     )
 
@@ -968,18 +1014,25 @@ def g_graph_family(spark, sf_dir):
     SELECT 'dedup', vec_a, vec_b, CAST(NULL AS VARCHAR), cosine,
            CAST(NULL AS INTEGER)
     FROM ({ORACLES["dedup_embedding_srp"]})
+    UNION ALL
+    SELECT 'ivf', qid, vec_id, CAST(NULL AS VARCHAR), cosine, rnk
+    FROM ({ORACLES["sim_ann_cells"]})
     """,
 )
 def srp_family(spark, sf_dir):
-    """The complete SRP-LSH similarity surface as one part-tagged
+    """The complete bucketed-similarity surface as one part-tagged
     family (round-3 fold in sim_srp_lsh's slot): part=sig|pair pins
     the signatures and banded candidate pairs (sim_srp_lsh), part=topk
     the LSH-routed top-k rerank (sim_topk_srp), part=dedup the
     LSH-routed near-dup pairs at the baseline threshold
-    (dedup_embedding_srp). All three compose the SAME registered
-    component DataFrames and oracle fragments — the shared band CTEs
-    are built once in _srp_cte_body — so the driver window checks the
-    production similarity routes end to end."""
+    (dedup_embedding_srp), part=ivf the cell-routed ANN
+    assign->probe->rerank (sim_ann_cells — the round-4 fold that moves
+    the IVF route from rows-only into the hash-matched window; the
+    k-means-trained variant sim_ann_ivf keeps its recall pytest). All
+    components compose the SAME registered DataFrames and oracle
+    fragments — the shared band CTEs are built once in _srp_cte_body —
+    so the driver window checks the production similarity routes end
+    to end."""
     from .tables import load as _load
 
     # ONE signature materialization threaded through all three
@@ -1007,4 +1060,12 @@ def srp_family(spark, sf_dir):
         "cosine",
         _nul("int").alias("rnk"),
     )
-    return base.unionByName(topk).unionByName(ddp)
+    ivf = similarity.sim_ann_cells(spark, sf_dir).select(
+        F.lit("ivf").alias("part"),
+        F.col("qid").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        _nul("string").alias("sig"),
+        "cosine",
+        "rnk",
+    )
+    return base.unionByName(topk).unionByName(ddp).unionByName(ivf)

@@ -375,6 +375,67 @@ def j5_semi_join(spark, sf_dir):
     )
 
 
+@query(
+    "lineage_stragglers",
+    """
+    WITH lin AS (
+      SELECT o_orderpriority AS stage,
+             CAST(o_orderkey % 64 AS INTEGER) AS partition_key,
+             count(*) AS n_rows,
+             CAST(sum(o_orderkey) % 100000 AS BIGINT) AS wall_ms
+      FROM orders GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT stage,
+             list_sort(list(n_rows))[CAST(ceil(0.5 * count(*)) AS INT)]
+               AS p50_rows,
+             list_sort(list(n_rows))[CAST(ceil(0.99 * count(*)) AS INT)]
+               AS p99_rows
+      FROM lin GROUP BY stage
+    ),
+    r AS (
+      SELECT lin.*,
+             row_number() OVER (PARTITION BY stage
+                                ORDER BY n_rows DESC, partition_key) AS rnk
+      FROM lin
+    )
+    SELECT r.stage, r.partition_key, r.n_rows, r.wall_ms,
+           CAST(r.rnk AS INTEGER) AS rnk, st.p50_rows, st.p99_rows,
+           r.n_rows * 1000 // greatest(st.p50_rows, 1) AS skew_x1000
+    FROM r JOIN st USING (stage) WHERE r.rnk <= 5
+    """,
+)
+def lineage_stragglers(spark, sf_dir):
+    """The straggler report (lineage.straggler_report) oracled over a
+    DETERMINISTIC lineage-shaped table derived from ``orders`` (stage =
+    order priority, partition_key = orderkey mod 64, n_rows = group
+    count) — the same trick every lineage-family oracle uses, since the
+    driver's fixed views carry no real checkpoint table. The Spark side
+    builds the synthetic table and runs the ACTUAL report body; a
+    pytest plants a fat partition in a REAL lineage dir and asserts the
+    report surfaces it (tests/test_resume.py)."""
+    from ..lineage import straggler_report
+
+    lin = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("stage"),
+            F.pmod(F.col("o_orderkey"), F.lit(64))
+            .cast("int")
+            .alias("partition_key"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.pmod(F.sum("o_orderkey"), F.lit(100000))
+            .cast("long")
+            .alias("wall_ms"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("ts", F.lit("2026-01-01").cast("timestamp"))
+    )
+    return straggler_report(lin, top_k=5)
+
+
 # ---------------------------------------------------------------------------
 # W-family: windows
 # ---------------------------------------------------------------------------

@@ -394,6 +394,149 @@ def sim_topk_srp(spark, sf_dir, sig=None):
     )
 
 
+def _ann_cells_sql() -> str:
+    """DuckDB twin of ``sim_ann_cells``: seed centroids = the first
+    IVF_CELLS vectors, assignment/probing by round-6 cosine rank."""
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {IVF_CELLS}
+    ),
+    arnks AS (
+      SELECT e.vec_id, s.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], s.cv), 6) DESC, s.cell
+             ) AS arnk
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    cells AS (SELECT vec_id, cell FROM arnks WHERE arnk = 1),
+    probes AS (
+      SELECT vec_id AS qid, cell FROM arnks
+      WHERE arnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    icand AS (
+      SELECT DISTINCT p.qid, c.vec_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.vec_id <> p.qid
+    ),
+    iscored AS (
+      SELECT i.qid, i.vec_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          ev.embedding::DOUBLE[]), 6) AS cos
+      FROM icand i
+      JOIN embeddings eq ON eq.vec_id = i.qid
+      JOIN embeddings ev ON ev.vec_id = i.vec_id
+    ),
+    irnkd AS (
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id
+             ) AS INTEGER) AS rnk
+      FROM iscored
+    )
+    SELECT qid, vec_id, round(cos, 4) AS cosine, rnk
+    FROM irnkd WHERE rnk <= {TOPK}
+    """
+
+
+@query("sim_ann_cells", _ann_cells_sql())
+def sim_ann_cells(spark, sf_dir):
+    """IVF-style cell-routed ANN with a FULL oracle (round-4 verdict
+    item 4): vectors are assigned to the nearest of IVF_CELLS seed
+    centroids (the first IVF_CELLS vectors by id — a deterministic,
+    data-derived quantizer both engines can express; k-means-TRAINED
+    centroids stay in the rows-only ``sim_ann_ivf``, whose recall the
+    pytest gates), queries probe their IVF_NPROBE nearest cells, and
+    an exact cosine rerank orders the candidates — the same
+    assign -> probe -> rerank route, now hash-matched in the driver
+    window via ``srp_family`` part='ivf'.
+
+    Plan shape (the 100 TB story): assignment is SHUFFLE-FREE — all
+    IVF_CELLS cosines are computed as columns of one narrow projection
+    against literal seed arrays (collected once driver-side, the
+    one-time-model-load analog), argmax/top-nprobe by array ops, so no
+    16xN exploded row ever shuffles; candidates come from a bounded
+    cell equi-join (probes broadcast); only the per-query top-k window
+    shuffles, and only candidate-sized data. Floats follow the SRP
+    discipline: ordered left-fold dots against literals, round-6 before
+    every comparison, tie-breaks on integer ids."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < IVF_CELLS).collect()
+    }
+    en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
+    sims = []
+    for c in range(IVF_CELLS):
+        cv = F.array(*[F.lit(x) for x in seed_rows[c]])
+        cos = _dot_expr(F.col("embedding"), cv) / (
+            F.col("nrm") * _norm_expr(cv)
+        )
+        sims.append(F.round(cos, 6))
+    sim_arr = F.array(*sims)
+    # argmax with smallest-cell tie-break: first position of the max
+    cell = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    cells = en.select("vec_id", cell.alias("cell"))
+    # probes: rank the cell structs by (sim desc, cell asc), take nprobe
+    struct_arr = F.array(
+        *[
+            F.struct(sims[c].alias("s"), F.lit(c).alias("c"))
+            for c in range(IVF_CELLS)
+        ]
+    )
+    ranked = F.array_sort(
+        struct_arr,
+        lambda lft, rgt: F.when(lft["s"] > rgt["s"], F.lit(-1))
+        .when(lft["s"] < rgt["s"], F.lit(1))
+        .otherwise(lft["c"] - rgt["c"]),
+    )
+    probes = (
+        en.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked, 1, IVF_NPROBE), lambda x: x["c"]
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q = en.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    v = en.select("vec_id", "embedding", "nrm")
+    scored = (
+        cand.join(q, "qid")
+        .join(v, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot_expr(F.col("qv"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
 TRAIN_SAMPLE = 10_000  # centroid-training sample cap (faiss-style)
 KMEANS_ITERS = 8
 

@@ -209,13 +209,19 @@ def assemble_from_blocks(
                   "spans": [], "lang": "und"}]
             )
         core = pdf[pdf["block_id"] >= 0].sort_values("block_id")
+        # column-wise zip, not itertuples: no per-row object assembly
+        # beyond the Block the kernel needs (same bytes, same order)
         blocks_list = [
             Block(
-                block_id=int(r.block_id), tag=r.tag, depth=int(r.depth),
-                pos=int(r.pos), text=r.text, text_len=int(r.text_len),
-                link_text_len=int(r.link_text_len),
+                block_id=int(b), tag=t, depth=int(d), pos=int(p),
+                text=x, text_len=int(tl), link_text_len=int(ll),
             )
-            for r in core.itertuples()
+            for b, t, d, p, x, tl, ll in zip(
+                core["block_id"].tolist(), core["tag"].tolist(),
+                core["depth"].tolist(), core["pos"].tolist(),
+                core["text"].tolist(), core["text_len"].tolist(),
+                core["link_text_len"].tolist(),
+            )
         ]
         flags = (
             [True] * len(blocks_list)
