@@ -208,6 +208,7 @@ from win64_local_ocr_tool_spark.kernels.jpegcodec import (  # noqa: E402
     MAX_DECODE_PIXELS as JPEG_MAX_DECODE_PIXELS,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     parse_jpeg_header,
 )
 
@@ -311,13 +312,21 @@ def test_jpeg_rejects_unsupported_profiles():
     as no_codec); malformed payloads -> ValueError (error rows)."""
     good = bytearray(encode_jpeg(_smooth_img(16, 16, 1)))
     i = good.find(b"\xff\xc0")
-    for sof2 in (0xC2, 0xC3, 0xC9, 0xCB):  # progressive/lossless/arith
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless/arithmetic/hierarchical
         bad = bytearray(good)
-        bad[i + 1] = sof2
+        bad[i + 1] = sof
         with pytest.raises(NotImplementedError):
             parse_jpeg_header(bytes(bad))
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(bad))
+    # SOF2 (progressive) now parses; a baseline stream merely relabeled
+    # as progressive is malformed (its scan header violates Annex G),
+    # not no_codec
+    bad = bytearray(good)
+    bad[i + 1] = 0xC2
+    assert parse_jpeg_header(bytes(bad)) == (16, 16, 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
     # 12-bit precision
     bad = bytearray(good)
     bad[i + 4] = 12
@@ -347,6 +356,71 @@ def test_jpeg_decode_refuses_oversize_images():
     assert parse_jpeg_header(bytes(payload)) == (2000, 2000, 1)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+@pytest.mark.parametrize(
+    "shape,kwargs",
+    [
+        ((32, 48, 3), {}),
+        ((32, 48, 3), {"subsample": True}),
+        ((17, 23, 1), {}),
+        ((16, 16, 3), {"quality": 50}),
+        ((40, 24, 3), {"restart_interval": 3}),
+        ((9, 10, 3), {"subsample": True, "restart_interval": 2}),
+    ],
+)
+def test_jpeg_progressive_decodes_identical_to_baseline(shape, kwargs):
+    """encode_jpeg_progressive reorganizes the SAME quantized
+    coefficients into SOF2 multi-scan form (DC/AC first + refinement,
+    spectral bands, EOB runs), so decode must be pixel-identical to
+    the baseline file at equal quality/subsampling — the strongest
+    cross-check of both the progressive encoder and decoder."""
+    img = _smooth_img(*shape, seed=sum(shape))
+    kwargs.setdefault("quality", 85)
+    prog = encode_jpeg_progressive(img, **kwargs)
+    assert prog[:3] == JPEG_MAGIC
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog[:200]
+    assert parse_jpeg_header(prog) == (shape[1], shape[0], shape[2])
+    want = decode_jpeg(encode_jpeg(img, **kwargs))
+    assert (decode_jpeg(prog) == want).all()
+
+
+def test_jpeg_progressive_extreme_content():
+    """Flat image -> maximal EOB runs (EOBn symbols with n>0); noise ->
+    dense AC with ZRL-in-refinement; sparse spikes -> newly-nonzero
+    coefficients inside refinement scans. All three must reconstruct
+    the exact baseline pixels."""
+    rng = np.random.default_rng(11)
+    flat = np.full((64, 80, 3), 137, np.uint8)
+    noise = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+    sparse = np.zeros((40, 40, 1), np.uint8)
+    sparse[13, 29, 0] = 255
+    sparse[31, 5, 0] = 200
+    for img in (flat, noise, sparse):
+        want = decode_jpeg(encode_jpeg(img))
+        assert (decode_jpeg(encode_jpeg_progressive(img)) == want).all()
+
+
+def test_jpeg_progressive_corrupt_never_hangs():
+    """Truncations and byte flips of a progressive stream must raise
+    ValueError/NotImplementedError (error/no_codec rows), never hang
+    or leak another exception type."""
+    rng = np.random.default_rng(13)
+    prog = encode_jpeg_progressive(
+        rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    )
+    for cut in range(2, len(prog), 97):
+        try:
+            decode_jpeg(prog[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for pos in range(2, len(prog), 41):
+        b = bytearray(prog)
+        b[pos] ^= 0xFF
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_media_pipeline_on_real_jpeg(spark):

@@ -43,25 +43,30 @@ def test_media_metadata(spark):
 
 
 def test_media_metadata_no_codec_status(spark):
-    """Profiles without a decoder (progressive JPEG) surface
+    """Profiles without a decoder (arithmetic-coded JPEG) surface
     status=no_codec — the codec boundary is explicit, not a silent
     wrong answer; malformed payloads are error rows, never task
-    failures; baseline JPEG now decodes for real."""
+    failures; baseline AND progressive JPEG decode for real."""
     import numpy as np
 
-    from win64_local_ocr_tool_spark.kernels.jpegcodec import encode_jpeg
+    from win64_local_ocr_tool_spark.kernels.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from win64_local_ocr_tool_spark.operators.multimodal import render_jpeg
 
     baseline = encode_jpeg(np.full((16, 24, 3), 90, np.uint8))
-    progressive = bytearray(baseline)
-    i = progressive.find(b"\xff\xc0")
-    progressive[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive frame)
+    arith = bytearray(baseline)
+    i = arith.find(b"\xff\xc0")
+    arith[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
+    progressive = encode_jpeg_progressive(np.full((16, 24, 3), 90, np.uint8))
     df = spark.createDataFrame(
         [
-            (1, bytes(progressive)),                       # needs real codec
+            (1, bytes(arith)),                             # needs real codec
             (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),      # malformed png
             (3, b"\xff\xd8\xff" + b"\x00" * 64),           # malformed jpeg
             (4, render_jpeg(32, 16, 3, seed=7)),           # baseline: real
+            (5, progressive),                              # SOF2: real too
         ],
         schema="media_id long, payload binary",
     )
@@ -74,6 +79,8 @@ def test_media_metadata_no_codec_status(spark):
     assert (rows[4]["status"], rows[4]["kind"]) == ("ok", "image")
     assert (rows[4]["width"], rows[4]["height"], rows[4]["n_channels"]) \
         == (32, 16, 3)
+    assert (rows[5]["status"], rows[5]["container"]) == ("ok", "jpeg")
+    assert (rows[5]["width"], rows[5]["height"]) == (24, 16)
 
 
 def test_media_features_deterministic_across_partitioning(spark):

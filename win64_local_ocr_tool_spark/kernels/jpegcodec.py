@@ -1,4 +1,4 @@
-"""Minimal pure-stdlib baseline-JPEG codec (numpy for the DCT) for the
+"""Minimal pure-stdlib JPEG codec (numpy for the DCT) for the
 multimodal operators.
 
 The container has no PIL/opencv, so the decode seam in
@@ -6,14 +6,15 @@ The container has no PIL/opencv, so the decode seam in
 dominates a web crawl's image payloads (reference analog: arbitrary
 image uploads decode via PIL in ``backend/annotator/routes.py:69-79``
 and ``segmentation/utils.py:7-14``). Supported: baseline DCT
-(SOF0/SOF1), 8-bit, huffman entropy coding, grayscale and YCbCr with
-sampling factors 1-2 (covers 4:4:4 / 4:2:2 / 4:2:0), restart
-intervals. Unsupported-but-valid variants (progressive SOF2,
-arithmetic coding, 12-bit, hierarchical, CMYK) raise
-``NotImplementedError`` and surface as row-level ``no_codec`` status —
-the honest "needs a real codec library" signal; malformed payloads
-raise ``ValueError`` and surface as ``error`` rows, never task
-failures.
+(SOF0/SOF1) AND progressive DCT (SOF2 — spectral selection,
+successive approximation, EOB runs per T.81 Annex G), 8-bit, huffman
+entropy coding, grayscale and YCbCr with sampling factors 1-2 (covers
+4:4:4 / 4:2:2 / 4:2:0), restart intervals. Unsupported-but-valid
+variants (arithmetic coding, 12-bit, lossless, hierarchical, CMYK)
+raise ``NotImplementedError`` and surface as row-level ``no_codec``
+status — the honest "needs a real codec library" signal; malformed
+payloads raise ``ValueError`` and surface as ``error`` rows, never
+task failures.
 
 The encoder (quality-scaled Annex-K tables, optional 4:2:0 and restart
 markers) exists so tests and the synthetic corpus get deterministic
@@ -129,11 +130,14 @@ _AC_CHROM_VALS = bytes([
     0xF9, 0xFA,
 ])
 
-# SOF markers this codec decodes (baseline + extended-sequential
-# huffman, which is bitstream-identical at 8-bit) vs. valid-but-
-# unsupported frame types that need a real codec library.
+# SOF markers this codec decodes: baseline + extended-sequential
+# huffman (bitstream-identical at 8-bit) and progressive huffman
+# (SOF2, multi-scan spectral selection + successive approximation).
+# Remaining valid-but-unsupported frame types (lossless, arithmetic,
+# hierarchical) still need a real codec library.
 _SOF_SUPPORTED = {0xC0, 0xC1}
-_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+_SOF_PROGRESSIVE = {0xC2}
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                     0xCD, 0xCE, 0xCF}
 
 
@@ -212,15 +216,15 @@ def _parse_sof(payload: bytes, off: int, ln: int):
 def parse_jpeg_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the SOF marker — header-only,
     never touches the entropy-coded body (cheap metadata even on
-    multi-MB payloads). Progressive/arithmetic/12-bit raise
-    NotImplementedError (-> status='no_codec')."""
+    multi-MB payloads). Baseline and progressive parse; arithmetic/
+    12-bit/lossless raise NotImplementedError (-> status='no_codec')."""
     for marker, off, ln in _iter_segments(payload):
-        if marker in _SOF_SUPPORTED:
+        if marker in _SOF_SUPPORTED or marker in _SOF_PROGRESSIVE:
             w, h, comps = _parse_sof(payload, off, ln)
             return w, h, len(comps)
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/lossless) "
+                "non-baseline JPEG (arithmetic/lossless/hierarchical) "
                 "needs a real codec"
             )
     raise ValueError("no SOF marker before SOS")
@@ -341,7 +345,7 @@ def _split_entropy(payload: bytes, start: int):
 
 
 def _decode_block(br: _BitReader, dc_lut, ac_lut, pred: int):
-    """One 8x8 block -> (new DC pred, coeffs in natural order)."""
+    """One 8x8 block -> (new DC pred, coeffs in ZIGZAG order)."""
     dc_sym, dc_len = dc_lut
     ac_sym, ac_len = ac_lut
     peek = br.peek16()
@@ -368,9 +372,215 @@ def _decode_block(br: _BitReader, dc_lut, ac_lut, pred: int):
         s = sym & 15
         if k > 63:
             raise ValueError("AC coefficient index overflow")
-        coef[ZIGZAG[k]] = _extend(br.receive(s), s)
+        coef[k] = _extend(br.receive(s), s)
         k += 1
     return pred, coef
+
+
+# ---------------------------------------------------------------------------
+# progressive scan block decoders (T.81 Annex G, huffman)
+# ---------------------------------------------------------------------------
+
+def _dc_first_block(br: _BitReader, dc_lut, pred: int) -> int:
+    """DC first scan (Ah=0): one huffman DC diff; caller applies the
+    point transform (``pred << Al``) when storing."""
+    dc_sym, dc_len = dc_lut
+    peek = br.peek16()
+    s, l = dc_sym[peek], dc_len[peek]
+    if l == 0:
+        raise ValueError("invalid DC huffman code")
+    br.skip(l)
+    return pred + _extend(br.receive(s), s)
+
+
+def _ac_first_block(br: _BitReader, ac_lut, zz, ss: int, se: int,
+                    al: int, eobrun: int) -> int:
+    """AC first scan (Ah=0) for one block's band [ss, se]; ``zz`` is the
+    block's zigzag-order coefficient slice. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    ac_sym, ac_len = ac_lut
+    k = ss
+    while k <= se:
+        peek = br.peek16()
+        sym, l = ac_sym[peek], ac_len[peek]
+        if l == 0:
+            raise ValueError("invalid AC huffman code")
+        br.skip(l)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+bits all-done bands
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun - 1
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in scan band")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(br: _BitReader, ac_lut, zz, ss: int, se: int,
+                     al: int, eobrun: int) -> int:
+    """AC refinement scan (Ah=Al+1): append one correction bit to each
+    already-nonzero coefficient in the band, insert newly-nonzero
+    coefficients as +/-(1<<Al). T.81 G.1.2.3 / figure G.7."""
+    p1 = 1 << al
+    m1 = -p1
+    ac_sym, ac_len = ac_lut
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            peek = br.peek16()
+            sym, l = ac_sym[peek], ac_len[peek]
+            if l == 0:
+                raise ValueError("invalid AC huffman code")
+            br.skip(l)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # band tail handled below, then eobrun -= 1
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                val = p1 if br.receive(1) else m1
+            # advance to the target position, consuming one correction
+            # bit per already-nonzero coefficient passed over
+            while k <= se:
+                if zz[k] != 0:
+                    if br.receive(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of this band
+            if zz[k] != 0 and br.receive(1) and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_baseline_scan(segs, scan, comps, htabs, coefs,
+                          mcus_x, mcus_y, restart_interval):
+    """One interleaved full-spectrum scan (the whole baseline image)."""
+    plan = []
+    for ci, td, ta in scan:
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("missing huffman table")
+        _cid, hs, vs, _tq = comps[ci]
+        plan.append((ci, hs, vs, htabs[(0, td)], htabs[(1, ta)]))
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    preds = [0] * len(plan)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            preds = [0] * len(plan)
+        my, mx = divmod(mcu, mcus_x)
+        for pi, (ci, hs, vs, dc_lut, ac_lut) in enumerate(plan):
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[pi], block = _decode_block(
+                        br, dc_lut, ac_lut, preds[pi]
+                    )
+                    coefs[ci][my * vs + by, mx * hs + bx] = block
+
+
+def _decode_progressive_scan(segs, scan, comps, htabs, coefs, bdims,
+                             mcus_x, mcus_y, restart_interval,
+                             ss, se, ah, al):
+    """One progressive scan: DC (interleaved or single-component) or AC
+    (always single-component), first pass (Ah=0) or refinement."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be one component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral selection band")
+    if al > 13:
+        raise ValueError("bad successive approximation shift")
+    dc_luts = {}
+    ac_lut = None
+    if ss == 0 and ah == 0:
+        for ci, td, _ta in scan:
+            if (0, td) not in htabs:
+                raise ValueError("missing huffman table")
+            dc_luts[ci] = htabs[(0, td)]
+    if ss > 0:
+        ta = scan[0][2]
+        if (1, ta) not in htabs:
+            raise ValueError("missing huffman table")
+        ac_lut = htabs[(1, ta)]
+
+    interleaved = ss == 0 and len(scan) > 1
+    if interleaved:
+        total = mcus_x * mcus_y
+    else:
+        bh, bw = bdims[scan[0][0]]
+        total = bh * bw
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    preds = {ci: 0 for ci, _td, _ta in scan}
+    eobrun = 0
+    for mcu in range(total):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            preds = {ci: 0 for ci, _td, _ta in scan}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(mcu, mcus_x)
+            for ci, _td, _ta in scan:
+                _cid, hs, vs, _tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = coefs[ci][my * vs + by, mx * hs + bx]
+                        if ah == 0:
+                            preds[ci] = _dc_first_block(
+                                br, dc_luts[ci], preds[ci]
+                            )
+                            block[0] = preds[ci] << al
+                        elif br.receive(1):
+                            block[0] |= 1 << al
+        else:  # single component, MCU = one block, row-major
+            ci = scan[0][0]
+            by, bx = divmod(mcu, bdims[ci][1])
+            block = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    preds[ci] = _dc_first_block(br, dc_luts[ci], preds[ci])
+                    block[0] = preds[ci] << al
+                elif br.receive(1):
+                    block[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first_block(br, ac_lut, block, ss, se,
+                                         al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, ac_lut, block, ss, se,
+                                          al, eobrun)
 
 
 # ---------------------------------------------------------------------------
@@ -378,13 +588,48 @@ def _decode_block(br: _BitReader, dc_lut, ac_lut, pred: int):
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxWxC uint8 array (C=1 gray, C=3 RGB)."""
+    """Baseline or progressive JPEG -> HxWxC uint8 (C=1 gray, C=3 RGB).
+
+    Progressive (SOF2) implements T.81 Annex G huffman decode:
+    spectral-selection bands, successive approximation (DC and AC first
+    + refinement scans), EOB runs, restart intervals. Scans accumulate
+    into per-component zigzag coefficient planes; one IDCT runs at the
+    end. Reference analog: arbitrary crawl images decode via PIL in
+    ``backend/annotator/routes.py:69-79``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    for marker, off, ln in _iter_segments(payload):
+    coefs: list = []   # per comp: zigzag-order (BY, BX, 64) int64
+    bdims: list = []   # per comp TRUE block dims (bh, bw) — non-
+    #                    interleaved scans cover these, not the padded
+    #                    interleaved grid
+    geom = None        # (comps, hmax, vmax, mcus_x, mcus_y)
+    scan_done = False
+    i, n = 2, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise ValueError("marker sync lost")
+        while i < n and payload[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            break
+        marker = payload[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > n:
+            raise ValueError("truncated marker segment")
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("bad segment length")
+        off, ln = i + 2, seg_len - 2
+        i += seg_len
         if marker == 0xDB:  # DQT (possibly several tables)
             p, end = off, off + ln
             while p < end:
@@ -413,8 +658,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, off)
-        elif marker in _SOF_SUPPORTED:
+        elif marker in _SOF_SUPPORTED or marker in _SOF_PROGRESSIVE:
+            if sof is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker in _SOF_PROGRESSIVE
             sof = _parse_sof(payload, off, ln)
+            w, h, comps = sof
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"image too large for the stdlib entropy loop "
+                    f"({w}x{h}); swap in PIL/opencv for full-size decode"
+                )
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            geom = (comps, hmax, vmax, mcus_x, mcus_y)
+            for _cid, hs, vs, _tq in comps:
+                coefs.append(
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                )
+                cw = -(-(w * hs) // hmax)
+                ch = -(-(h * vs) // vmax)
+                bdims.append((-(-ch // 8), -(-cw // 8)))
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 "non-baseline JPEG needs a real codec"
@@ -424,66 +690,56 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("SOS before SOF")
+            comps, hmax, vmax, mcus_x, mcus_y = geom
+            if ln < 1:
+                raise ValueError("truncated SOS")
             ns = payload[off]
-            if ns != len(sof[2]):
-                raise NotImplementedError("multi-scan JPEG")
-            sel = {}
+            if ln < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS")
+            by_cid = {c[0]: idx for idx, c in enumerate(comps)}
+            scan = []  # (comp index, Td, Ta)
             for c in range(ns):
                 cid = payload[off + 1 + 2 * c]
-                tdta = payload[off + 2 + 2 * c]
-                sel[cid] = (tdta >> 4, tdta & 15)
-            scan = (sel, off + ln)
-    if sof is None or scan is None:
+                t = payload[off + 2 + 2 * c]
+                if cid not in by_cid:
+                    raise ValueError(f"scan references unknown comp {cid}")
+                scan.append((by_cid[cid], t >> 4, t & 15))
+            ss = payload[off + 1 + 2 * ns]
+            se = payload[off + 2 + 2 * ns]
+            ahal = payload[off + 3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, i = _split_entropy(payload, i)
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError("multi-scan sequential JPEG")
+                _decode_baseline_scan(
+                    segs, scan, comps, htabs, coefs,
+                    mcus_x, mcus_y, restart_interval,
+                )
+                scan_done = True
+                break  # baseline: single scan holds everything
+            _decode_progressive_scan(
+                segs, scan, comps, htabs, coefs, bdims,
+                mcus_x, mcus_y, restart_interval, ss, se, ah, al,
+            )
+            scan_done = True
+        # APPn/COM/DNL etc.: body already skipped
+
+    if sof is None or not scan_done:
         raise ValueError("missing SOF/SOS")
     w, h, comps = sof
-    if w * h > MAX_DECODE_PIXELS:
-        raise ValueError(
-            f"image too large for the stdlib entropy loop ({w}x{h}); "
-            "swap in PIL/opencv for full-size decode"
-        )
-    sel, scan_start = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    plan = []  # per comp: (hs, vs, qtab, dc_lut, ac_lut, coef array)
-    for cid, hs, vs, tq in comps:
-        if tq not in qtabs:
-            raise ValueError(f"missing quant table {tq}")
-        if cid not in sel:
-            raise ValueError(f"scan does not cover component {cid}")
-        td, ta = sel[cid]
-        if (0, td) not in htabs or (1, ta) not in htabs:
-            raise ValueError("missing huffman table")
-        coefs = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
-        plan.append((hs, vs, qtabs[tq], htabs[(0, td)], htabs[(1, ta)], coefs))
-
-    segs, _ = _split_entropy(payload, scan_start)
-    seg_idx = 0
-    br = _BitReader(segs[0])
-    preds = [0] * len(plan)
-    total_mcus = mcus_x * mcus_y
-    for mcu in range(total_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ValueError("missing restart segment")
-            br = _BitReader(segs[seg_idx])
-            preds = [0] * len(plan)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (hs, vs, _q, dc_lut, ac_lut, coefs) in enumerate(plan):
-            for by in range(vs):
-                for bx in range(hs):
-                    preds[ci], block = _decode_block(
-                        br, dc_lut, ac_lut, preds[ci]
-                    )
-                    coefs[my * vs + by, mx * hs + bx] = block
+    _, hmax, vmax, _, _ = geom
 
     planes = []
-    for hs, vs, qtab, _dc, _ac, coefs in plan:
-        by, bx = coefs.shape[:2]
-        f = (coefs.reshape(by * bx, 8, 8).astype(np.float64)
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError(f"missing quant table {tq}")
+        qtab = qtabs[tq]
+        zz_arr = coefs[ci]
+        nat = np.zeros_like(zz_arr)
+        nat[:, :, ZIGZAG] = zz_arr
+        by, bx = nat.shape[:2]
+        f = (nat.reshape(by * bx, 8, 8).astype(np.float64)
              * qtab[None, :, :])
         pix = np.einsum("ab,nbc,cd->nad", _T.T, f, _T)
         pix = np.clip(np.round(pix + 128.0), 0, 255)
@@ -620,16 +876,11 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """HxW / HxWx1 / HxWx3 uint8 array -> baseline JPEG bytes.
-
-    ``subsample=True`` emits 4:2:0 (exercises the decoder's 2x2
-    sampling path); ``restart_interval`` emits DRI + RSTn markers."""
+def _prepare_encode(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front end: color convert, subsample, pad, DCT +
+    quantize. Returns (h, w, c, comp_spec, zz_all, lum_q, chrom_q,
+    mcus_x, mcus_y) — zz_all holds per-comp (BY, BX, 64) quantized
+    zigzag coefficients on the padded interleaved MCU grid."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -640,13 +891,7 @@ def encode_jpeg(
         raise ValueError("empty image")
     lum_q, chrom_q = _scaled_tables(quality)
 
-    dc0 = _enc_table(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac0 = _enc_table(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc1 = _enc_table(_DC_CHROM_BITS, _DC_CHROM_VALS)
-    ac1 = _enc_table(_AC_CHROM_BITS, _AC_CHROM_VALS)
-
     if c == 1:
-        hs_y = vs_y = 1
         comp_spec = [(1, 1, 1, 0)]
         planes = [img[:, :, 0].astype(np.float64)]
     else:
@@ -670,7 +915,7 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    zz_all, enc_tbls = [], []
+    zz_all = []
     for i, (_cid, hs, vs, tq) in enumerate(comp_spec):
         qtab = lum_q if tq == 0 else chrom_q
         plane = _pad_plane(planes[i], mcus_y * vs * 8, mcus_x * hs * 8)
@@ -679,7 +924,30 @@ def encode_jpeg(
         # every plane to exactly its block grid
         plane = np.clip(np.round(plane), 0, 255)
         zz_all.append(_blocks_zz(plane, qtab))
-        enc_tbls.append((dc0, ac0) if tq == 0 else (dc1, ac1))
+    return h, w, c, comp_spec, zz_all, lum_q, chrom_q, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW / HxWx1 / HxWx3 uint8 array -> baseline JPEG bytes.
+
+    ``subsample=True`` emits 4:2:0 (exercises the decoder's 2x2
+    sampling path); ``restart_interval`` emits DRI + RSTn markers."""
+    (h, w, c, comp_spec, zz_all, lum_q, chrom_q,
+     mcus_x, mcus_y) = _prepare_encode(img, quality, subsample)
+
+    dc0 = _enc_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac0 = _enc_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc1 = _enc_table(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac1 = _enc_table(_AC_CHROM_BITS, _AC_CHROM_VALS)
+    enc_tbls = [
+        (dc0, ac0) if tq == 0 else (dc1, ac1)
+        for _cid, _hs, _vs, tq in comp_spec
+    ]
 
     bw = _BitWriter()
     body = bytearray()
@@ -739,4 +1007,354 @@ def encode_jpeg(
     out += _seg(0xDA, sos)
     out += body
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encode (T.81 Annex G scans, Annex K.2 optimal tables)
+# ---------------------------------------------------------------------------
+
+def _build_huffman(freq) -> tuple[bytes, bytes]:
+    """Optimal huffman (BITS, HUFFVAL) from 256 symbol frequencies —
+    T.81 Annex K.2 (figures K.1-K.3): pairwise least-frequency merge,
+    fold code lengths above 16, reserved symbol 256 guarantees no
+    real code is all ones."""
+    freq = list(freq) + [1]
+    if sum(freq) == 1:
+        raise ValueError("cannot build a huffman table with no symbols")
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        f1 = f2 = None
+        for s in range(257):  # smallest freq; largest symbol on ties
+            if freq[s] and (f1 is None or freq[s] <= f1):
+                f1, v1 = freq[s], s
+        for s in range(257):
+            if s != v1 and freq[s] and (f2 is None or freq[s] <= f2):
+                f2, v2 = freq[s], s
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    i = 32  # fold lengths > 16 (figure K.3)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16  # drop the reserved symbol's (longest) code
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    huffval = bytes(
+        s
+        for size in range(1, 17)
+        for s in range(256)
+        if codesize[s] == size
+    )
+    return bytes(bits[1:17]), huffval
+
+
+class _FreqSink:
+    """Tally pass: count huffman symbols, ignore appended bits."""
+
+    __slots__ = ("freq",)
+
+    def __init__(self):
+        self.freq = [0] * 256
+
+    def sym(self, s: int) -> None:
+        self.freq[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Emit pass: huffman-code symbols into the shared bit writer."""
+
+    __slots__ = ("bw", "table")
+
+    def __init__(self, bw: _BitWriter, table: dict):
+        self.bw = bw
+        self.table = table
+
+    def sym(self, s: int) -> None:
+        code, length = self.table[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+
+def _emit_dc_scan(scan_comps, comp_spec, zz_all, mcus_x, mcus_y,
+                  ah, al, sinks, restart_cb, restart_interval):
+    """DC scan, interleaved over MCUs (or the degenerate 1-comp grid).
+    Ah=0: huffman-coded point-transformed diffs; Ah>0: one raw
+    refinement bit (bit Al, two's complement) per block."""
+    preds = {ci: 0 for ci in scan_comps}
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            restart_cb()
+            preds = {ci: 0 for ci in scan_comps}
+        my, mx = divmod(mcu, mcus_x)
+        for ci in scan_comps:
+            _cid, hs, vs, _tq = comp_spec[ci]
+            sink = sinks[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(zz_all[ci][my * vs + by, mx * hs + bx, 0])
+                    if ah == 0:
+                        t = dc >> al  # arithmetic shift per G.1.2.1
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        s = abs(diff).bit_length()
+                        sink.sym(s)
+                        sink.bits(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                    else:
+                        sink.bits((dc >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(zz_comp, bh, bw, ss, se, al, sink,
+                        restart_cb, restart_interval):
+    """AC first scan (Ah=0) over one component's true block grid,
+    with EOB-run accumulation (T.81 G.1.2.2 / libjpeg
+    encode_mcu_AC_first — public algorithm)."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+
+    for mcu in range(bh * bw):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            emit_eobrun()
+            restart_cb()
+        by, bx = divmod(mcu, bw)
+        zz = zz_comp[by, bx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al  # magnitude point transform (trunc to 0)
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                sink.sym(0xF0)
+                r -= 16
+            s = t.bit_length()
+            sink.sym((r << 4) | s)
+            sink.bits(t if v > 0 else (1 << s) - 1 - t, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _emit_ac_refine_scan(zz_comp, bh, bw, ss, se, al, sink,
+                         restart_cb, restart_interval):
+    """AC refinement scan (Ah=Al+1): correction bits for already-
+    nonzero coefficients, run/1 codes for newly-nonzero ones,
+    correction bits buffered across EOB runs (T.81 G.1.2.3 /
+    libjpeg encode_mcu_AC_refine — public algorithm)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits held with the EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, pending
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(nb << 4)
+            sink.bits(eobrun & ((1 << nb) - 1), nb)
+            for b in pending:
+                sink.bits(b, 1)
+            pending = []
+            eobrun = 0
+
+    for mcu in range(bh * bw):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            emit_eobrun()
+            restart_cb()
+        by, bx = divmod(mcu, bw)
+        zz = zz_comp[by, bx]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob = -1  # index (into band) of last NEWLY nonzero coefficient
+        for idx, t in enumerate(absv):
+            if t == 1:
+                eob = idx
+        r = 0
+        br_bits: list[int] = []  # correction bits since last symbol
+        for idx, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                emit_eobrun()
+                sink.sym(0xF0)
+                r -= 16
+                for b in br_bits:
+                    sink.bits(b, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: one correction bit
+                br_bits.append(t & 1)
+                continue
+            emit_eobrun()
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if vals[idx] > 0 else 0, 1)
+            for b in br_bits:
+                sink.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW / HxWx1 / HxWx3 uint8 array -> progressive (SOF2) JPEG.
+
+    Scan script: interleaved DC first (Al=1), per-component AC bands
+    1-5 and 6-63 (Al=1), then DC and AC refinement scans down to Al=0 —
+    exercising all four Annex G scan kinds with full reconstruction.
+    Huffman tables are per-scan optimal (Annex K.2) since the Annex K
+    default AC tables lack the EOBn symbols progressive scans emit.
+    Same quantized coefficients as ``encode_jpeg`` at equal quality/
+    subsampling, so decoded pixels match the baseline file exactly."""
+    (h, w, c, comp_spec, zz_all, lum_q, chrom_q,
+     mcus_x, mcus_y) = _prepare_encode(img, quality, subsample)
+    hmax = max(s[1] for s in comp_spec)
+    vmax = max(s[2] for s in comp_spec)
+    bdims = []
+    for _cid, hs, vs, _tq in comp_spec:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bdims.append((-(-ch // 8), -(-cw // 8)))
+
+    ncomp = len(comp_spec)
+    all_comps = list(range(ncomp))
+    # (kind, comps, Ss, Se, Ah, Al)
+    scans = [("dc", all_comps, 0, 0, 0, 1)]
+    scans += [("ac_first", [ci], 1, 5, 0, 1) for ci in all_comps]
+    scans += [("ac_first", [ci], 6, 63, 0, 1) for ci in all_comps]
+    scans += [("dc", all_comps, 0, 0, 1, 0)]
+    scans += [("ac_refine", [ci], 1, 5, 1, 0) for ci in all_comps]
+    scans += [("ac_refine", [ci], 6, 63, 1, 0) for ci in all_comps]
+
+    zz_lum = np.zeros(64, dtype=np.uint8)
+    zz_lum[np.arange(64)] = lum_q.reshape(64)[ZIGZAG]
+    dqt = bytes([0x00]) + zz_lum.tobytes()
+    if c == 3:
+        zz_ch = np.zeros(64, dtype=np.uint8)
+        zz_ch[np.arange(64)] = chrom_q.reshape(64)[ZIGZAG]
+        dqt += bytes([0x01]) + zz_ch.tobytes()
+
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, hs, vs, tq in comp_spec:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, dqt)
+    out += _seg(0xC2, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    for kind, scomps, ss, se, ah, al in scans:
+        # table id per comp in scan: lum -> 0, chrom -> 1 (shared)
+        tids = {ci: (0 if comp_spec[ci][3] == 0 else 1) for ci in scomps}
+
+        def run(sinks, restart_cb):
+            if kind == "dc":
+                _emit_dc_scan(scomps, comp_spec, zz_all, mcus_x, mcus_y,
+                              ah, al, sinks, restart_cb, restart_interval)
+            else:
+                ci = scomps[0]
+                bh, bw_ = bdims[ci]
+                fn = (_emit_ac_first_scan if kind == "ac_first"
+                      else _emit_ac_refine_scan)
+                fn(zz_all[ci], bh, bw_, ss, se, al, sinks[ci],
+                   restart_cb, restart_interval)
+
+        needs_tables = not (kind == "dc" and ah > 0)
+        tables = {}
+        if needs_tables:
+            tally = {tid: _FreqSink() for tid in set(tids.values())}
+            run({ci: tally[tids[ci]] for ci in scomps}, lambda: None)
+            dht = b""
+            tc = 0 if kind == "dc" else 1
+            for tid in sorted(tally):
+                bits, vals = _build_huffman(tally[tid].freq)
+                dht += bytes([(tc << 4) | tid]) + bits + vals
+                tables[tid] = _enc_table(bits, vals)
+            out += _seg(0xC4, dht)
+
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            cid = comp_spec[ci][0]
+            tid = tids[ci] if needs_tables else 0
+            sos += bytes([cid, (tid << 4) if kind == "dc" else tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+
+        bw = _BitWriter()
+        body = bytearray()
+        rst = [0]
+
+        def restart_cb():
+            bw.flush()
+            body.extend(bw.out)
+            body.extend(bytes([0xFF, 0xD0 + (rst[0] & 7)]))
+            rst[0] += 1
+            bw.out = bytearray()
+            bw.buf = 0
+            bw.n = 0
+
+        if needs_tables:
+            sinks = {ci: _WriteSink(bw, tables[tids[ci]]) for ci in scomps}
+        else:  # DC refinement: raw bits only, no huffman coding
+            sinks = {ci: _WriteSink(bw, {}) for ci in scomps}
+        run(sinks, restart_cb)
+        bw.flush()
+        body.extend(bw.out)
+        out += body
+
+    out += b"\xff\xd9"
     return bytes(out)

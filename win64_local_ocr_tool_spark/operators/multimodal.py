@@ -2,16 +2,17 @@
 
 The reference's core loop IS a multimodal pipeline (image in -> text
 out); this module generalizes the plumbing to image/audio/video columns
-for a training-data pipeline, per the task brief. PNG, baseline JPEG,
-GIF, uncompressed BMP and PCM WAV decode FOR REAL via stdlib-only
-codecs (``kernels/pngcodec.py`` zlib baseline profile,
-``kernels/jpegcodec.py`` huffman + numpy IDCT,
+for a training-data pipeline, per the task brief. PNG, baseline AND
+progressive JPEG, GIF, uncompressed BMP and PCM WAV decode FOR REAL
+via stdlib-only codecs (``kernels/pngcodec.py`` zlib baseline profile,
+``kernels/jpegcodec.py`` huffman + numpy IDCT incl. SOF2 multi-scan,
 ``kernels/gifcodec.py`` LZW + palettes,
-``kernels/bmpcodec.py`` BI_RGB 24/32-bit,
+``kernels/bmpcodec.py`` BI_RGB 24/32-bit + 8-bit palette,
 ``kernels/wavcodec.py`` via ``wave``); variants needing a real codec
-(non-baseline JPEG, palette/RLE BMP) and compressed audio remain the
-documented ``no_codec`` boundary (a real deployment swaps the
-``_decode_image`` / ``_decode_audio`` internals for PIL/ffmpeg).
+(arithmetic/12-bit/lossless JPEG, 1/4-bit palette + RLE BMP) and
+compressed audio remain the documented ``no_codec`` boundary (a real
+deployment swaps the ``_decode_image`` / ``_decode_audio`` internals
+for PIL/ffmpeg).
 Everything Spark-side is real and tested: schemas, metadata sniffing,
 Arrow batch shapes, partitioning, and the iterator-UDF init pattern
 (one-time heavy init per executor, reference
@@ -397,7 +398,7 @@ def media_resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     decode: PNG via the stdlib-zlib codec (emits PNG back), baseline
     JPEG via the stdlib huffman+IDCT codec (emits JPEG back), the
     synthetic container via its fixture parser (emits %SIMG back).
-    Non-baseline JPEG yields status='no_codec' rows, not failures.
+    Arithmetic/12-bit JPEG yields status='no_codec' rows, not failures.
     Narrow map, zero shuffle; the Arrow batch bound keeps multi-MB
     payload batches inside worker memory (SURVEY P8)."""
 
