@@ -704,6 +704,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if cid not in by_cid:
                     raise ValueError(f"scan references unknown comp {cid}")
                 scan.append((by_cid[cid], t >> 4, t & 15))
+            if len({ci for ci, _td, _ta in scan}) != ns:
+                # with ns == len(comps) this also restores the old
+                # "scan does not cover component" guarantee
+                raise ValueError("duplicate component in scan")
             ss = payload[off + 1 + 2 * ns]
             se = payload[off + 2 + 2 * ns]
             ahal = payload[off + 3 + 2 * ns]
@@ -1049,6 +1053,8 @@ def _build_huffman(freq) -> tuple[bytes, bytes]:
     bits = [0] * 33
     for s in range(257):
         if codesize[s]:
+            if codesize[s] > 32:  # libjpeg MAX_CLEN guard
+                raise ValueError("huffman code length overflow")
             bits[codesize[s]] += 1
     i = 32  # fold lengths > 16 (figure K.3)
     while i > 16:
@@ -1065,9 +1071,12 @@ def _build_huffman(freq) -> tuple[bytes, bytes]:
     while bits[i] == 0:
         i -= 1
     bits[i] -= 1
+    # HUFFVAL keeps pre-fold codesize order over the FULL 1..32 range
+    # (T.81 K.4 / libjpeg): symbols folded down from >16 bits must not
+    # be dropped — bits[] already counts them at their final lengths
     huffval = bytes(
         s
-        for size in range(1, 17)
+        for size in range(1, 33)
         for s in range(256)
         if codesize[s] == size
     )

@@ -38,7 +38,6 @@ exact-dedup pre-collapse) keep full pairwise fidelity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window as W
 
 BUCKET_PAIR_CAP = 32  # all-pairs emission only in buckets up to this size
 
@@ -49,21 +48,21 @@ def bounded_bucket_pairs(
     """(out_a < out_b) candidate pairs from a (id, band, bkey) band
     table under the bounded per-bucket rule above.
 
-    Plan shape: ONE window pass over the band table computes occupancy
-    and the min-id representative (both share the (band, bkey) shuffle);
-    the result is localCheckpoint-ed so the small-bucket self-join's two
+    Plan shape: per-bucket occupancy + min-id representative come from
+    a groupBy (map-side partial agg — a 10^7-member viral bucket's key
+    combines BEFORE the shuffle) joined back on (band, bkey), a join
+    AQE can skew-split; a window min would instead sink the whole
+    megabucket into one unsplittable reducer partition. The annotated
+    result is localCheckpoint-ed so the small-bucket self-join's two
     sides and the star branch share one materialization. The self-join
     sides are pre-filtered to occ <= cap, so no join key can fan out
     past cap rows; the star branch is a narrow filter+project with no
     join at all."""
-    w = W.partitionBy("band", "bkey")
-    occ = bands.select(
-        id_col,
-        "band",
-        "bkey",
-        F.count("*").over(w).alias("occ"),
-        F.min(id_col).over(w).alias("rep"),
-    ).localCheckpoint()
+    stats = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("occ"),
+        F.min(id_col).alias("rep"),
+    )
+    occ = bands.join(stats, ["band", "bkey"]).localCheckpoint()
     small = occ.filter(F.col("occ") <= BUCKET_PAIR_CAP)
     a = small.alias("a")
     b = small.alias("b")

@@ -467,10 +467,18 @@ def sim_ann_cells(spark, sf_dir):
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in e.filter(F.col("vec_id") < IVF_CELLS).collect()
     }
+    if not seed_rows:
+        raise ValueError("embeddings table has no seed vectors")
+    # seeds = whatever ids < IVF_CELLS actually exist, in id order (the
+    # oracle makes the same assumption — no contiguity precondition);
+    # positional index over sorted ids is order-isomorphic to the ids,
+    # so tie-breaks agree with the oracle's id-ascending ones
+    seeds = [seed_rows[k] for k in sorted(seed_rows)]
+    n_seeds = len(seeds)
     en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
     sims = []
-    for c in range(IVF_CELLS):
-        cv = F.array(*[F.lit(x) for x in seed_rows[c]])
+    for c in range(n_seeds):
+        cv = F.array(*[F.lit(x) for x in seeds[c]])
         cos = _dot_expr(F.col("embedding"), cv) / (
             F.col("nrm") * _norm_expr(cv)
         )
@@ -483,7 +491,7 @@ def sim_ann_cells(spark, sf_dir):
     struct_arr = F.array(
         *[
             F.struct(sims[c].alias("s"), F.lit(c).alias("c"))
-            for c in range(IVF_CELLS)
+            for c in range(n_seeds)
         ]
     )
     ranked = F.array_sort(

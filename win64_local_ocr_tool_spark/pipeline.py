@@ -403,18 +403,20 @@ def run_curation_staged(
             )
         return int(n)
 
-    # exact pre-collapse: (doc_id, representative) — one shuffle on the
-    # 32-char fp (text never travels), min-id per md5 class via window
+    # exact pre-collapse: (doc_id, representative) — shuffles only the
+    # 32-char fp (text never travels). min-id per md5 class comes from
+    # a groupBy (map-side partial agg, so a 10^7-page viral mirror's
+    # hot fp combines BEFORE the shuffle) joined back on fp (a join AQE
+    # can skew-split) — deliberately NOT a window min, which would sink
+    # the whole megacluster into one unsplittable reducer partition
     def _exact():
-        from pyspark.sql.window import Window as W
-
         d = load(spark, docs_dir, "documents").select(
             "doc_id", F.md5("text").alias("fp")
         )
-        return d.select(
-            "doc_id",
-            F.min("doc_id").over(W.partitionBy("fp")).alias("representative"),
+        reps = d.groupBy("fp").agg(
+            F.min("doc_id").alias("representative")
         )
+        return d.join(reps, "fp").select("doc_id", "representative")
 
     stage("exact", _exact, f"{work_dir}/exact")
 
