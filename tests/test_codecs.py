@@ -588,15 +588,20 @@ def test_bmp_top_down_and_unsupported_profiles():
     _struct.pack_into("<i", flipped, 22, -4)
     assert (decode_bmp(bytes(flipped)) == img).all()
     # unsupported-but-real variants -> NotImplementedError (no_codec)
-    rle = bytearray(payload)
-    _struct.pack_into("<I", rle, 30, 1)   # BI_RLE8
+    b16 = bytearray(payload)
+    _struct.pack_into("<H", b16, 28, 16)  # RGB555/565
     with pytest.raises(NotImplementedError):
-        parse_bmp_header(bytes(rle))
-    pal4 = bytearray(payload)
-    _struct.pack_into("<H", pal4, 28, 4)  # 4-bit palette (unsupported)
+        parse_bmp_header(bytes(b16))
+    bf = bytearray(payload)
+    _struct.pack_into("<I", bf, 14, 108)  # BITMAPV4 ...
+    _struct.pack_into("<I", bf, 30, 3)    # ... with BI_BITFIELDS
     with pytest.raises(NotImplementedError):
-        parse_bmp_header(bytes(pal4))
-    # malformed -> ValueError
+        parse_bmp_header(bytes(bf))
+    # malformed -> ValueError: RLE flag on a 24-bit body, truncations
+    rle24 = bytearray(payload)
+    _struct.pack_into("<I", rle24, 30, 1)  # BI_RLE8 requires 8 bpp
+    with pytest.raises(ValueError):
+        parse_bmp_header(bytes(rle24))
     with pytest.raises(ValueError):
         parse_bmp_header(bytes(payload[:30]))
     with pytest.raises(ValueError):
@@ -665,6 +670,113 @@ def test_bmp_8bit_palette_decode():
     bad = head2 + dib2 + quads.tobytes()[:8] + body
     with pytest.raises(ValueError):
         decode_bmp(bad)
+
+
+def _palette_bmp(idx, pal, bpp, compression=0, body=None):
+    """Hand-assemble a palette BMP around index image ``idx`` (bottom-up
+    packing for uncompressed depths; ``body`` overrides pixel data for
+    RLE streams)."""
+    import struct as _struct
+
+    h, w = idx.shape
+    ncol = len(pal)
+    quads = np.zeros((ncol, 4), dtype=np.uint8)
+    quads[:, 0], quads[:, 1], quads[:, 2] = pal[:, 2], pal[:, 1], pal[:, 0]
+    if body is None:
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.zeros((h, stride * 8), dtype=np.uint8)
+        flipped = idx[::-1]
+        for b in range(bpp):  # MSB-first packing
+            rows[:, b : w * bpp : bpp] = (flipped >> (bpp - 1 - b)) & 1
+        body = np.packbits(rows, axis=1)[:, :stride].tobytes()
+    dib = _struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, bpp, compression, len(body),
+        2835, 2835, ncol, 0,
+    )
+    off = 14 + len(dib) + quads.size
+    head = _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return head + dib + quads.tobytes() + body
+
+
+@pytest.mark.parametrize("bpp", [1, 2, 4])
+def test_bmp_low_bit_palette_decode(bpp):
+    """1/2/4-bit packed palette rows (MSB-first, 4-byte-aligned
+    strides) decode through the palette to RGB — closing the low-bit
+    half of the old BMP no_codec boundary."""
+    rng = np.random.default_rng(20 + bpp)
+    w, h = 11, 6  # odd width exercises stride padding + partial bytes
+    ncol = 1 << bpp
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+    payload = _palette_bmp(idx, pal, bpp)
+    assert parse_bmp_header(payload) == (w, h, 3)
+    assert (decode_bmp(payload) == pal[idx]).all()
+
+
+def test_bmp_rle8_and_rle4_decode():
+    """BI_RLE8/BI_RLE4 streams — encoded runs, absolute mode with word
+    alignment, EOL, delta (skipped pixels default to palette 0), EOB —
+    decode exactly; truncated streams raise ValueError."""
+    rng = np.random.default_rng(31)
+    w, h = 13, 5
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+
+    def rle8_body(idx):
+        out = bytearray()
+        for y in range(h - 1, -1, -1):  # storage order is bottom-up
+            row = idx[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3:
+                    out += bytes([run, int(row[x])])
+                    x += run
+                elif w - x >= 3:  # absolute mode (literal count >= 3)
+                    lit = 3
+                    out += bytes([0, lit]) + bytes(int(v) for v in row[x : x + lit])
+                    if lit & 1:
+                        out.append(0)  # word alignment
+                    x += lit
+                else:  # short tail: 1-pixel encoded runs (0,1/0,2 are escapes)
+                    out += bytes([1, int(row[x])])
+                    x += 1
+            out += bytes([0, 0])  # EOL
+        out += bytes([0, 1])  # EOB
+        return bytes(out)
+
+    idx8 = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+    idx8[:, 3:9] = 7  # guarantee some runs
+    p8 = _palette_bmp(idx8, pal, 8, compression=1, body=rle8_body(idx8))
+    assert parse_bmp_header(p8) == (w, h, 3)
+    assert (decode_bmp(p8) == pal[idx8]).all()
+
+    # RLE4: runs alternate the two nibbles of the value byte
+    idx4 = np.zeros((h, w), dtype=np.uint8)
+    body4 = bytearray()
+    expect = np.zeros((h, w), dtype=np.uint8)
+    # storage row 0 (bottom image row): run of 5 alternating (9, 2)
+    body4 += bytes([5, (9 << 4) | 2])
+    expect[h - 1, 0:5] = [9, 2, 9, 2, 9]
+    # delta: skip 2 right, stay on row (skipped pixels -> palette 0)
+    body4 += bytes([0, 2, 2, 0])
+    # absolute mode: 5 literal nibbles -> 3 data bytes + 1 pad byte
+    body4 += bytes([0, 5, (1 << 4) | 3, (5 << 4) | 7, (11 << 4), 0])
+    expect[h - 1, 7:12] = [1, 3, 5, 7, 11]
+    body4 += bytes([0, 0])  # EOL
+    # storage row 1: a run crossing to odd count
+    body4 += bytes([3, (14 << 4) | 6])
+    expect[h - 2, 0:3] = [14, 6, 14]
+    body4 += bytes([0, 0, 0, 1])  # EOL + EOB (rows above stay 0)
+    p4 = _palette_bmp(idx4, pal, 4, compression=2, body=bytes(body4))
+    assert parse_bmp_header(p4) == (w, h, 3)
+    assert (decode_bmp(p4) == pal[expect]).all()
+
+    # truncated RLE stream -> ValueError, never a hang or garbage
+    with pytest.raises(ValueError):
+        decode_bmp(_palette_bmp(idx8, pal, 8, compression=1,
+                                body=rle8_body(idx8)[:-3]))
 
 
 def test_gif_subscreen_first_frame_composites_onto_canvas():

@@ -3,13 +3,15 @@ operators.
 
 Same boundary discipline as ``pngcodec.py`` / ``jpegcodec.py``
 (reference analog: arbitrary image uploads decoded via PIL,
-``backend/annotator/segmentation/utils.py:7-14``): the overwhelmingly
-common case decodes FOR REAL — uncompressed BI_RGB 8-bit-palette /
-24 / 32-bit with any of the BITMAPINFOHEADER family headers, bottom-up
-or top-down — while variants that need a real codec (palette 1/4-bit,
-RLE compression, bitfields, OS/2 core headers) raise ``NotImplementedError`` and
-surface as ``status='no_codec'`` rows; malformed payloads raise
-``ValueError`` and surface as ``error`` rows, never task failures.
+``backend/annotator/segmentation/utils.py:7-14``): everything the DIB
+spec calls common decodes FOR REAL — uncompressed BI_RGB 1/2/4/8-bit
+palette, 24 and 32-bit with any of the BITMAPINFOHEADER family
+headers, bottom-up or top-down, plus BI_RLE8 and BI_RLE4 run-length
+compression (runs, absolute mode, EOL/EOB/delta escapes) — while
+variants that need a real codec (16-bit RGB555/565, bitfields, OS/2
+core headers) raise ``NotImplementedError`` and surface as
+``status='no_codec'`` rows; malformed payloads raise ``ValueError``
+and surface as ``error`` rows, never task failures.
 
 The encoder (24-bit BI_RGB, bottom-up) provides round-trip fixtures
 and lets sinks emit real BMP without any external library.
@@ -31,9 +33,9 @@ _DIB_SIZES = {40, 52, 56, 64, 108, 124}  # BITMAPINFOHEADER family
 
 
 def _parse_headers(payload: bytes):
-    """(data_offset, width, height, bpp, top_down) with the boundary
-    split: ValueError = malformed, NotImplementedError = real format
-    this stdlib codec does not cover."""
+    """(data_offset, width, height, bpp, top_down, compression) with
+    the boundary split: ValueError = malformed, NotImplementedError =
+    real format this stdlib codec does not cover."""
     if payload[:2] != BMP_MAGIC:
         raise ValueError("not a BMP (no BM magic)")
     if len(payload) < 54:
@@ -51,30 +53,34 @@ def _parse_headers(payload: bytes):
         raise ValueError("bad planes count")
     if compression == 3 and dib_size >= 52:
         raise NotImplementedError("BI_BITFIELDS BMP needs a real codec")
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
             f"compressed BMP (method {compression}) needs a real codec"
         )
-    if bpp in (1, 2, 4):
-        raise NotImplementedError(f"{bpp}-bit palette BMP needs a real codec")
+    if compression == 1 and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8 bpp")
+    if compression == 2 and bpp != 4:
+        raise ValueError("BI_RLE4 requires 4 bpp")
     if bpp == 16:
         raise NotImplementedError("16-bit RGB555/565 BMP needs a real codec")
-    if bpp not in (8, 24, 32):
+    if bpp not in (1, 2, 4, 8, 24, 32):
         raise ValueError(f"bad bit depth {bpp}")
     top_down = h < 0
     h = abs(h)
+    if top_down and compression:
+        raise ValueError("top-down RLE BMP is invalid")
     if w <= 0 or h == 0 or w * h > 64_000_000:
         raise ValueError("bad dimensions")
     if data_offset < 14 + dib_size or data_offset > len(payload):
         raise ValueError("bad pixel-data offset")
-    return data_offset, w, h, bpp, top_down
+    return data_offset, w, h, bpp, top_down, compression
 
 
 def parse_bmp_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) — header-only, body untouched.
-    8-bit palette BMP reports 3 channels (palette entries are RGB)."""
-    _, w, h, bpp, _ = _parse_headers(payload)
-    return w, h, 3 if bpp == 8 else bpp // 8
+    Palette BMP (1/2/4/8-bit) reports 3 channels (entries are RGB)."""
+    _, w, h, bpp, _, _ = _parse_headers(payload)
+    return w, h, 3 if bpp <= 8 else bpp // 8
 
 
 def _palette(payload: bytes, dib_size: int, bpp: int) -> np.ndarray:
@@ -89,16 +95,104 @@ def _palette(payload: bytes, dib_size: int, bpp: int) -> np.ndarray:
     return quads[:, [2, 1, 0]].copy()  # BGRX -> RGB
 
 
+def _decode_rle(data: bytes, w: int, h: int, nibble: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 -> (h, w) palette indices in storage (bottom-
+    up) row order. Handles encoded runs, absolute mode (word-aligned),
+    and the EOL / EOB / delta escapes; pixels never written stay 0
+    (palette entry 0), matching GDI. Every loop turn consumes >= 2
+    bytes, so decode is linear in payload size."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated BMP RLE data")
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run out of bounds")
+            if nibble:
+                pair = np.array([val >> 4, val & 15], dtype=np.uint8)
+                idx[y, x : x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            else:
+                idx[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            y += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta (dx right, dy toward later storage rows)
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: val literal pixels, word-aligned
+            cnt = val
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE absolute run out of bounds")
+            if nibble:
+                nbytes = (cnt + 1) // 2
+                take = nbytes + (nbytes & 1)
+                if i + take > n:
+                    raise ValueError("truncated BMP RLE absolute data")
+                raw = np.frombuffer(data, np.uint8, count=nbytes, offset=i)
+                pix = np.empty(nbytes * 2, dtype=np.uint8)
+                pix[0::2] = raw >> 4
+                pix[1::2] = raw & 15
+                idx[y, x : x + cnt] = pix[:cnt]
+                i += take
+            else:
+                take = cnt + (cnt & 1)
+                if i + take > n:
+                    raise ValueError("truncated BMP RLE absolute data")
+                idx[y, x : x + cnt] = np.frombuffer(
+                    data, np.uint8, count=cnt, offset=i
+                )
+                i += take
+            x += cnt
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Full pixel decode -> HxWxC uint8 (C=3 RGB for 24-bit and 8-bit
-    palette, C=4 RGBA for 32-bit), rows un-padded, bottom-up storage
-    flipped to natural top-down order."""
-    off, w, h, bpp, top_down = _parse_headers(payload)
+    """Full pixel decode -> HxWxC uint8 (C=3 RGB for 24-bit and all
+    palette depths, C=4 RGBA for 32-bit), rows un-padded, bottom-up
+    storage flipped to natural top-down order. BI_RLE8/BI_RLE4 streams
+    decompress for real."""
+    off, w, h, bpp, top_down, compression = _parse_headers(payload)
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"refusing full decode of {w}x{h} BMP "
             f"(> {MAX_DECODE_PIXELS} px); parse_bmp_header covers metadata"
         )
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if compression:  # BI_RLE8 / BI_RLE4 (always bottom-up)
+        pal = _palette(payload, dib_size, bpp)
+        idx = _decode_rle(payload[off:], w, h, nibble=(compression == 2))[::-1]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("pixel index outside BMP palette")
+        return pal[idx]
+    if bpp < 8:  # packed palette indices, MSB-first within each byte
+        stride = ((w * bpp + 31) // 32) * 4
+        need = stride * h
+        body = payload[off : off + need]
+        if len(body) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+        grouped = bits.reshape(h, w, bpp)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        for b in range(bpp):
+            idx = (idx << 1) | grouped[:, :, b]
+        if not top_down:
+            idx = idx[::-1]
+        pal = _palette(payload, dib_size, bpp)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("pixel index outside BMP palette")
+        return pal[idx]
     c = bpp // 8
     stride = (w * c + 3) & ~3  # rows padded to 4 bytes
     need = stride * h
@@ -110,7 +204,6 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         img = img[::-1]
     if bpp == 8:
-        dib_size = struct.unpack_from("<I", payload, 14)[0]
         pal = _palette(payload, dib_size, bpp)
         idx = img[..., 0]
         if int(idx.max(initial=0)) >= len(pal):

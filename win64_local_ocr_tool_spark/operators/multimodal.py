@@ -7,9 +7,10 @@ progressive JPEG, GIF, uncompressed BMP and PCM WAV decode FOR REAL
 via stdlib-only codecs (``kernels/pngcodec.py`` zlib baseline profile,
 ``kernels/jpegcodec.py`` huffman + numpy IDCT incl. SOF2 multi-scan,
 ``kernels/gifcodec.py`` LZW + palettes,
-``kernels/bmpcodec.py`` BI_RGB 24/32-bit + 8-bit palette,
+``kernels/bmpcodec.py`` BI_RGB 24/32-bit + 1/2/4/8-bit palette +
+BI_RLE8/BI_RLE4,
 ``kernels/wavcodec.py`` via ``wave``); variants needing a real codec
-(arithmetic/12-bit/lossless JPEG, 1/4-bit palette + RLE BMP) and
+(arithmetic/12-bit/lossless JPEG, 16-bit/bitfields BMP) and
 compressed audio remain the documented ``no_codec`` boundary (a real
 deployment swaps the ``_decode_image`` / ``_decode_audio`` internals
 for PIL/ffmpeg).
@@ -206,12 +207,13 @@ def _parse_saud_header(payload: bytes):
 def _decode_image(payload: bytes, container: str):
     """(width, height, channels) — header-only, body untouched.
 
-    PNG, baseline JPEG, GIF and uncompressed BMP decode FOR REAL via
-    the stdlib codecs (``kernels/{png,jpeg,gif,bmp}codec.py``;
-    reference image loads ``segmentation/utils.py:7-14``); the
-    synthetic container parses its fixture header. Variants needing a
-    real codec (non-baseline JPEG, palette/RLE BMP) raise
-    NotImplementedError inside the kernel (-> status='no_codec')."""
+    PNG, baseline + progressive JPEG, GIF and palette/RLE/truecolor
+    BMP decode FOR REAL via the stdlib codecs
+    (``kernels/{png,jpeg,gif,bmp}codec.py``; reference image loads
+    ``segmentation/utils.py:7-14``); the synthetic container parses
+    its fixture header. Variants needing a real codec (arithmetic/
+    12-bit JPEG, 16-bit/bitfields BMP) raise NotImplementedError
+    inside the kernel (-> status='no_codec')."""
     if container == "simg":
         return _parse_simg_header(payload)
     if container == "png":
