@@ -215,6 +215,51 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 palette indices + (N<=256, 3) RGB palette ->
+    BI_RLE8 BMP. Runs of >= 3 use encoded mode, shorter stretches fall
+    back to 1-pixel encoded runs (counts 0/1/2 in absolute mode are
+    escapes), EOL after every row, EOB at the end — a valid stream any
+    GDI-compatible decoder accepts; exists so tests and the synthetic
+    corpus exercise the RLE decode path with real fixtures."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or idx.shape[0] == 0 or idx.shape[1] == 0:
+        raise ValueError("encode_bmp_rle8 wants a non-empty HxW index map")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be Nx3 with N <= 256")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("pixel index outside palette")
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # storage order is bottom-up
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run < 3:
+                run = 1
+            out += bytes([run, int(row[x])])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    quads = np.zeros((len(palette), 4), dtype=np.uint8)
+    quads[:, 0] = palette[:, 2]
+    quads[:, 1] = palette[:, 1]
+    quads[:, 2] = palette[:, 0]
+    dib = struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, 8, 1, len(out), 2835, 2835,
+        len(palette), 0,
+    )
+    off = 14 + len(dib) + quads.size
+    head = struct.pack(
+        "<2sIHHI", BMP_MAGIC, off + len(out), 0, 0, off
+    )
+    return head + dib + quads.tobytes() + bytes(out)
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """RGB (HxWx3) or RGBA (HxWx4) uint8 -> BI_RGB bottom-up BMP."""
     img = np.asarray(img, dtype=np.uint8)

@@ -99,13 +99,18 @@ def render_png(width: int, height: int, channels: int, seed: int) -> bytes:
     return encode_png(img.reshape(height, width, channels))
 
 
-def render_jpeg(width: int, height: int, channels: int, seed: int) -> bytes:
-    """REAL deterministic baseline-JPEG fixture (encoded by
-    kernels/jpegcodec) — a smooth seeded gradient so the file stays
-    small and the lossy round-trip error stays pinned-low."""
+def render_jpeg(
+    width: int, height: int, channels: int, seed: int,
+    progressive: bool = False,
+) -> bytes:
+    """REAL deterministic JPEG fixture (encoded by kernels/jpegcodec) —
+    a smooth seeded gradient so the file stays small and the lossy
+    round-trip error stays pinned-low. ``progressive=True`` emits a
+    SOF2 multi-scan file (same quantized coefficients, so pixels decode
+    identically to the baseline form)."""
     import numpy as np
 
-    from ..kernels.jpegcodec import encode_jpeg
+    from ..kernels.jpegcodec import encode_jpeg, encode_jpeg_progressive
 
     yy, xx = np.mgrid[0:height, 0:width]
     img = np.stack(
@@ -113,7 +118,8 @@ def render_jpeg(width: int, height: int, channels: int, seed: int) -> bytes:
          for c in range(channels)],
         axis=-1,
     ).astype(np.uint8)
-    return encode_jpeg(
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    return enc(
         img, quality=85, subsample=(channels == 3 and seed % 2 == 0),
         restart_interval=(4 if seed % 3 == 0 else 0),
     )
@@ -145,6 +151,26 @@ def render_bmp(width: int, height: int, channels: int, seed: int) -> bytes:
     idx = np.arange(width * height * channels, dtype=np.uint64)
     img = ((idx * 2654435761 + seed * 40503) % 256).astype(np.uint8)
     return encode_bmp(img.reshape(height, width, channels))
+
+
+def render_bmp_rle8(width: int, height: int, n_colors: int,
+                    seed: int) -> bytes:
+    """REAL deterministic BI_RLE8 BMP fixture: a seeded palette image
+    with horizontal runs (so the RLE stream contains real encoded
+    runs, not just literals)."""
+    import numpy as np
+
+    from ..kernels.bmpcodec import encode_bmp_rle8
+
+    n_colors = max(1, min(n_colors, 256))
+    cidx = np.arange(n_colors * 3, dtype=np.uint64)
+    palette = ((cidx * 2654435761 + seed * 97) % 256).astype(
+        np.uint8
+    ).reshape(n_colors, 3)
+    pidx = np.arange(width * height, dtype=np.uint64)
+    # runs of ~5 px: index changes every 5 pixels along the row
+    idx = (((pidx // 5) * 40503 + seed) % n_colors).astype(np.uint8)
+    return encode_bmp_rle8(idx.reshape(height, width), palette)
 
 
 def render_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
@@ -596,10 +622,12 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                         8000 + (i % 3) * 8000, 500 + i, seed + i
                     )
                 elif i % 19 == 4:
-                    # real baseline-JPEG rows (stdlib huffman+IDCT codec)
+                    # real JPEG rows (stdlib huffman+IDCT codec);
+                    # alternate baseline and progressive (SOF2) frames
                     payload = render_jpeg(
                         64 + (i % 6) * 8, 32 + (i % 4) * 8,
                         3 if i % 2 else 1, seed + i,
+                        progressive=(i % 38 == 4),
                     )
                 elif i % 23 == 9:
                     # real GIF rows (stdlib LZW codec)
@@ -608,11 +636,17 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                         4 + (i % 60), seed + i,
                     )
                 elif i % 29 == 12:
-                    # real BMP rows (uncompressed BI_RGB)
-                    payload = render_bmp(
-                        40 + (i % 6) * 4, 20 + (i % 3) * 8,
-                        3 if i % 2 else 4, seed + i,
-                    )
+                    # real BMP rows: uncompressed BI_RGB and BI_RLE8
+                    if i % 58 == 12:
+                        payload = render_bmp_rle8(
+                            40 + (i % 6) * 4, 20 + (i % 3) * 8,
+                            5 + (i % 40), seed + i,
+                        )
+                    else:
+                        payload = render_bmp(
+                            40 + (i % 6) * 4, 20 + (i % 3) * 8,
+                            3 if i % 2 else 4, seed + i,
+                        )
                 elif i % 7 == 3:
                     payload = render_saud(8000 + (i % 4) * 8000, 1000 + i, seed + i)
                 elif i % 11 == 5:
