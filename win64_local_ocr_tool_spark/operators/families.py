@@ -782,10 +782,12 @@ def text_profile(spark, sf_dir):
 
 
 def _minhash_lsh_sql() -> str:
-    sig_concat = ", ".join(f"sig{s}" for s in range(textops.N_MINHASH))
+    sig_concat = ", ".join(
+        f"CAST(sig{s} AS VARCHAR)" for s in range(textops.N_MINHASH)
+    )
     return f"""
     SELECT 'sig' AS part, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
-           concat({sig_concat}) AS sig
+           concat_ws(':', {sig_concat}) AS sig
     FROM ({textops._minhash_sig_sql()})
     UNION ALL
     SELECT 'pair', doc_a, doc_b, CAST(NULL AS VARCHAR)
@@ -797,16 +799,21 @@ def _minhash_lsh_sql() -> str:
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + LSH-banded candidate pairs as one entry:
     the ``sig`` branch pins every per-doc signature value (portable
-    md5 permutations), the ``pair`` branch pins the banded equi-join
-    output. Components: textops.dedup_minhash_sig/dedup_lsh_pairs."""
+    one-md5 affine permutations), the ``pair`` branch pins the banded
+    equi-join output. Components:
+    textops.dedup_minhash_sig/dedup_lsh_pairs."""
     sig = textops.dedup_minhash_sig(spark, sf_dir)
     pairs = textops.dedup_lsh_pairs(spark, sf_dir)
     sig_rows = sig.select(
         F.lit("sig").alias("part"),
         F.col("doc_id").alias("id_a"),
         _nul("long").alias("id_b"),
-        F.concat(
-            *[F.col(f"sig{s}") for s in range(textops.N_MINHASH)]
+        F.concat_ws(
+            ":",
+            *[
+                F.col(f"sig{s}").cast("string")
+                for s in range(textops.N_MINHASH)
+            ],
         ).alias("sig"),
     )
     pair_rows = pairs.select(

@@ -180,20 +180,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# Portable arithmetic minhash permutations: ONE md5 per shingle (the
+# round-4 hot-stage fix — the old form computed N_MINHASH md5s per
+# shingle occurrence, the dominant cost of the whole curation chain),
+# split into two independent 32-bit halves h1/h2, then N_MINHASH affine
+# maps ((a*h1) % P + (b*h2) % P + s) % P. Every operand stays below
+# 2^62, so Spark (wrapping) and DuckDB (overflow-checked) BIGINT
+# arithmetic agree exactly; a 64-bit (h1, h2) shingle identity keeps
+# cross-shingle collisions negligible at corpus scale.
+_MH_P = 4_294_967_311  # prime > 2^32
+_MH_A = [(2_654_435_761 * (s + 1)) % (1 << 30) | 1 for s in range(N_MINHASH)]
+_MH_B = [(2_246_822_519 * (s + 1)) % (1 << 30) | 1 for s in range(N_MINHASH)]
+
+
 def _minhash_sig_sql() -> str:
+    h1 = "CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT)"
+    h2 = "CAST(concat('0x', substring(md5(shingle), 9, 8)) AS BIGINT)"
     cols = ", ".join(
-        f"min(md5(concat(CAST({s} AS VARCHAR), ':', shingle))) AS sig{s}"
+        f"min((({_MH_A[s]} * h1) % {_MH_P} + ({_MH_B[s]} * h2) % {_MH_P}"
+        f" + {s}) % {_MH_P}) AS sig{s}"
         for s in range(N_MINHASH)
     )
-    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+    return (
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        f"hs AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh) "
+        f"SELECT doc_id, {cols} FROM hs GROUP BY doc_id"
+    )
 
 
 @query("dedup_minhash_sig", _minhash_sig_sql())
 def dedup_minhash_sig(spark, sf_dir):
-    """MinHash signatures with PORTABLE permutations: permutation s
-    orders shingles by md5(s || ':' || shingle); the signature element
-    is the lexicographic min — identical in any engine, no int-width
-    hash semantics to match."""
+    """MinHash signatures with PORTABLE permutations: one md5 per
+    shingle -> two 32-bit halves -> N_MINHASH exact-integer affine maps
+    (constants above) — identical values in any engine, at 1/N_MINHASH
+    of the old per-permutation-md5 hashing cost."""
     return _sig_from_docs(load(spark, sf_dir, "documents"))
 
 
@@ -202,13 +222,24 @@ def _sig_from_docs(docs):
     DataFrame — factored so the staged curation runner can feed it the
     exact-dedup REPRESENTATIVES table instead of the raw corpus."""
     sh = _word_ngrams(docs, SHINGLE_W, "shingle")
+    h = F.md5("shingle")
+    hs = sh.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
     aggs = [
         F.min(
-            F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
+            (
+                (F.lit(_MH_A[s]) * F.col("h1")) % _MH_P
+                + (F.lit(_MH_B[s]) * F.col("h2")) % _MH_P
+                + F.lit(s)
+            )
+            % _MH_P
         ).alias(f"sig{s}")
         for s in range(N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hs.groupBy("doc_id").agg(*aggs)
 
 
 def _lsh_pairs_sql() -> str:
@@ -216,9 +247,13 @@ def _lsh_pairs_sql() -> str:
     band_exprs = []
     for b in range(LSH_BANDS):
         parts = ", ".join(
-            f"sig{b * rows_per_band + r}" for r in range(rows_per_band)
+            f"CAST(sig{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
         )
-        band_exprs.append(f"SELECT doc_id, {b} AS band, md5(concat({parts})) AS bkey FROM sig")
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(concat_ws(':', {parts})) AS bkey FROM sig"
+        )
     bands = " UNION ALL ".join(band_exprs)
     return f"""
     WITH sig AS ({_minhash_sig_sql()}),
@@ -256,10 +291,14 @@ def _pairs_from_sig(sig):
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = []
     for b in range(LSH_BANDS):
-        parts = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.col(f"sig{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_structs.append(
             F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bkey")
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *parts)).alias("bkey"),
             )
         )
     bands = (
@@ -759,17 +798,21 @@ def decontaminate_ngram(spark, sf_dir):
 
     Scale shape: eval suites are tiny next to a training corpus, so the
     benchmark gram set is BROADCAST and the corpus side streams through
-    a broadcast hash join — no corpus-side shuffle until the final
-    per-doc count, which AQE coalesces. Both sides join on md5(gram),
-    not the raw 13-word string: a fixed 32-char key shrinks the
-    broadcast table and every probe-side comparison ~3-6x (md5
-    collisions are vanishing at any real eval-suite size, and the
-    DuckDB oracle keeps raw-string equality, so a collision would
-    surface as a driver mismatch). Emits (doc_id, n_hits) for
-    contaminated docs only; the drop step is a broadcast anti-join of
-    this result, same as dedup_canonical_docs."""
+    a broadcast hash join with NO corpus-side shuffle at all (round-4
+    hot-stage fix: the old form ran a corpus-wide DISTINCT over raw
+    13-word strings before the join — the single most expensive shuffle
+    of the staged chain; now the stream stays non-distinct, only the
+    ~3% benchmark slice pays a distinct, and per-doc gram dedup happens
+    in count(DISTINCT h) over the tiny hit set — value-identical).
+    Both sides join on md5(gram), not the raw 13-word string: a fixed
+    32-char key shrinks the broadcast table and every probe-side
+    comparison ~3-6x (md5 collisions are vanishing at any real
+    eval-suite size, and the DuckDB oracle keeps raw-string equality,
+    so a collision would surface as a driver mismatch). Emits
+    (doc_id, n_hits) for contaminated docs only; the drop step is a
+    broadcast anti-join of this result, same as dedup_canonical_docs."""
     d = load(spark, sf_dir, "documents")
-    grams = _word_ngrams(d, DECON_W, "g").select(
+    grams = _word_ngrams(d, DECON_W, "g", distinct=False).select(
         "doc_id", F.md5("g").alias("h")
     )
     bench = (
@@ -781,7 +824,7 @@ def decontaminate_ngram(spark, sf_dir):
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("h").alias("n_hits"))
     )
 
 
@@ -1024,8 +1067,13 @@ def curate_documents(spark, docs_dir: str, benchmark_dir: str | None = None):
             .select(F.md5("g").alias("h"))
             .distinct()
         )
+        # corpus stream stays NON-distinct: the broadcast join needs no
+        # shuffle and only contaminated doc_ids (deduped below) matter —
+        # a corpus-wide DISTINCT over raw 13-grams would be the chain's
+        # biggest shuffle for zero semantic effect
         corpus_grams = _word_ngrams(
-            load(spark, docs_dir, "documents"), DECON_W, "g"
+            load(spark, docs_dir, "documents"), DECON_W, "g",
+            distinct=False,
         ).select("doc_id", F.md5("g").alias("h"))
         cont = (
             corpus_grams.join(F.broadcast(bench), "h")

@@ -481,8 +481,12 @@ def run_curation_staged(
                 .select(F.md5("g").alias("h"))
                 .distinct()
             )
+            # non-distinct corpus stream: broadcast join shuffles
+            # nothing, and only the (deduped) contaminated doc_id set
+            # survives — see decontaminate_ngram's docstring
             corpus_grams = _word_ngrams(
-                load(spark, canon_dir, "documents"), DECON_W, "g"
+                load(spark, canon_dir, "documents"), DECON_W, "g",
+                distinct=False,
             ).select("doc_id", F.md5("g").alias("h"))
             return (
                 corpus_grams.join(F.broadcast(bench), "h")
