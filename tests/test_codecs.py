@@ -588,13 +588,9 @@ def test_bmp_top_down_and_unsupported_profiles():
     _struct.pack_into("<i", flipped, 22, -4)
     assert (decode_bmp(bytes(flipped)) == img).all()
     # unsupported-but-real variants -> NotImplementedError (no_codec)
-    b16 = bytearray(payload)
-    _struct.pack_into("<H", b16, 28, 16)  # RGB555/565
-    with pytest.raises(NotImplementedError):
-        parse_bmp_header(bytes(b16))
     bf = bytearray(payload)
     _struct.pack_into("<I", bf, 14, 108)  # BITMAPV4 ...
-    _struct.pack_into("<I", bf, 30, 3)    # ... with BI_BITFIELDS
+    _struct.pack_into("<I", bf, 30, 3)    # ... BI_BITFIELDS at 24 bpp
     with pytest.raises(NotImplementedError):
         parse_bmp_header(bytes(bf))
     # malformed -> ValueError: RLE flag on a 24-bit body, truncations
@@ -777,6 +773,57 @@ def test_bmp_rle8_and_rle4_decode():
     with pytest.raises(ValueError):
         decode_bmp(_palette_bmp(idx8, pal, 8, compression=1,
                                 body=rle8_body(idx8)[:-3]))
+
+
+def test_bmp_16bit_555_and_565_decode():
+    """16-bit pixels (RGB555 BI_RGB default and 565 BI_BITFIELDS)
+    expand to 8-bit channels by GDI-style bit replication; nonstandard
+    masks stay no_codec."""
+    import struct as _struct
+
+    rng = np.random.default_rng(44)
+    w, h = 7, 5
+    v = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+
+    def bmp16(vals, compression, masks=b""):
+        stride = (w * 2 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        le = vals[::-1].astype("<u2").tobytes()  # bottom-up storage
+        rows_flat = np.frombuffer(le, np.uint8).reshape(h, w * 2)
+        rows[:, : w * 2] = rows_flat
+        body = rows.tobytes()
+        dib = _struct.pack(
+            "<IiihhIIiiII", 40, w, h, 1, 16, compression, len(body),
+            2835, 2835, 0, 0,
+        )
+        off = 14 + len(dib) + len(masks)
+        head = _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        return head + dib + masks + body
+
+    def rep5(x):
+        return ((x << 3) | (x >> 2)).astype(np.uint8)
+
+    # RGB555 via plain BI_RGB
+    p555 = bmp16(v, 0)
+    assert parse_bmp_header(p555) == (w, h, 3)
+    want555 = np.stack(
+        [rep5((v >> 10) & 31), rep5((v >> 5) & 31), rep5(v & 31)], axis=-1
+    )
+    assert (decode_bmp(p555) == want555).all()
+    # RGB565 via BI_BITFIELDS masks
+    p565 = bmp16(v, 3, _struct.pack("<III", 0xF800, 0x7E0, 0x1F))
+    g6 = ((v >> 5) & 63).astype(np.uint16)
+    want565 = np.stack(
+        [rep5((v >> 11) & 31),
+         (((g6 << 2) | (g6 >> 4)).astype(np.uint8)),
+         rep5(v & 31)],
+        axis=-1,
+    )
+    assert (decode_bmp(p565) == want565).all()
+    # nonstandard masks -> no_codec, not garbage
+    pbad = bmp16(v, 3, _struct.pack("<III", 0xF00, 0xF0, 0xF))
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(pbad)
 
 
 def test_gif_subscreen_first_frame_composites_onto_canvas():

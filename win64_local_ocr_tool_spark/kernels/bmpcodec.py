@@ -5,10 +5,11 @@ Same boundary discipline as ``pngcodec.py`` / ``jpegcodec.py``
 (reference analog: arbitrary image uploads decoded via PIL,
 ``backend/annotator/segmentation/utils.py:7-14``): everything the DIB
 spec calls common decodes FOR REAL — uncompressed BI_RGB 1/2/4/8-bit
-palette, 24 and 32-bit with any of the BITMAPINFOHEADER family
-headers, bottom-up or top-down, plus BI_RLE8 and BI_RLE4 run-length
-compression (runs, absolute mode, EOL/EOB/delta escapes) — while
-variants that need a real codec (16-bit RGB555/565, bitfields, OS/2
+palette, 16-bit RGB555, 24 and 32-bit with any of the
+BITMAPINFOHEADER family headers, bottom-up or top-down, BI_RLE8 and
+BI_RLE4 run-length compression (runs, absolute mode, EOL/EOB/delta
+escapes), and BI_BITFIELDS with the standard 555/565 masks — while
+variants that need a real codec (nonstandard bitfield masks, OS/2
 core headers) raise ``NotImplementedError`` and surface as
 ``status='no_codec'`` rows; malformed payloads raise ``ValueError``
 and surface as ``error`` rows, never task failures.
@@ -51,9 +52,21 @@ def _parse_headers(payload: bytes):
     )
     if planes != 1:
         raise ValueError("bad planes count")
-    if compression == 3 and dib_size >= 52:
-        raise NotImplementedError("BI_BITFIELDS BMP needs a real codec")
-    if compression not in (0, 1, 2):
+    if compression == 3:
+        # BI_BITFIELDS: decode the standard 16-bit masks (555 and 565 —
+        # effectively all real files); exotic masks need a real codec.
+        # The three mask DWORDs sit at offset 54 both when appended
+        # after a 40-byte header and inside V4/V5 headers.
+        if bpp != 16 or len(payload) < 66:
+            raise NotImplementedError(
+                "BI_BITFIELDS outside 16-bit RGB555/565 needs a real codec"
+            )
+        masks = struct.unpack_from("<III", payload, 14 + 40)
+        if masks not in ((0x7C00, 0x3E0, 0x1F), (0xF800, 0x7E0, 0x1F)):
+            raise NotImplementedError(
+                f"nonstandard 16-bit bitfields {masks} need a real codec"
+            )
+    elif compression not in (0, 1, 2):
         raise NotImplementedError(
             f"compressed BMP (method {compression}) needs a real codec"
         )
@@ -61,9 +74,7 @@ def _parse_headers(payload: bytes):
         raise ValueError("BI_RLE8 requires 8 bpp")
     if compression == 2 and bpp != 4:
         raise ValueError("BI_RLE4 requires 4 bpp")
-    if bpp == 16:
-        raise NotImplementedError("16-bit RGB555/565 BMP needs a real codec")
-    if bpp not in (1, 2, 4, 8, 24, 32):
+    if bpp not in (1, 2, 4, 8, 16, 24, 32):
         raise ValueError(f"bad bit depth {bpp}")
     top_down = h < 0
     h = abs(h)
@@ -78,9 +89,9 @@ def _parse_headers(payload: bytes):
 
 def parse_bmp_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) — header-only, body untouched.
-    Palette BMP (1/2/4/8-bit) reports 3 channels (entries are RGB)."""
+    Palette (1/2/4/8-bit) and 16-bit BMP report 3 channels."""
     _, w, h, bpp, _, _ = _parse_headers(payload)
-    return w, h, 3 if bpp <= 8 else bpp // 8
+    return w, h, 3 if bpp <= 16 else bpp // 8
 
 
 def _palette(payload: bytes, dib_size: int, bpp: int) -> np.ndarray:
@@ -169,7 +180,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             f"(> {MAX_DECODE_PIXELS} px); parse_bmp_header covers metadata"
         )
     dib_size = struct.unpack_from("<I", payload, 14)[0]
-    if compression:  # BI_RLE8 / BI_RLE4 (always bottom-up)
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4 (always bottom-up)
         pal = _palette(payload, dib_size, bpp)
         idx = _decode_rle(payload[off:], w, h, nibble=(compression == 2))[::-1]
         if int(idx.max(initial=0)) >= len(pal):
@@ -193,6 +204,32 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("pixel index outside BMP palette")
         return pal[idx]
+    if bpp == 16:  # RGB555 (BI_RGB default) or 555/565 bitfields
+        if compression == 3:
+            masks = struct.unpack_from("<III", payload, 14 + 40)
+        else:
+            masks = (0x7C00, 0x3E0, 0x1F)
+        stride = (w * 2 + 3) & ~3
+        need = stride * h
+        body = payload[off : off + need]
+        if len(body) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * 2].reshape(h, w, 2)
+        v = px[..., 0].astype(np.uint16) | (
+            px[..., 1].astype(np.uint16) << 8
+        )
+        if not top_down:
+            v = v[::-1]
+        g_bits = 6 if masks[1] == 0x7E0 else 5
+        r = ((v & masks[0]) >> (10 if g_bits == 5 else 11)).astype(np.uint8)
+        g = ((v & masks[1]) >> 5).astype(np.uint8)
+        b = (v & masks[2]).astype(np.uint8)
+        # GDI-style bit replication expands 5/6-bit channels to 8
+        r8 = (r << 3) | (r >> 2)
+        b8 = (b << 3) | (b >> 2)
+        g8 = ((g << 2) | (g >> 4)) if g_bits == 6 else ((g << 3) | (g >> 2))
+        return np.stack([r8, g8, b8], axis=-1)
     c = bpp // 8
     stride = (w * c + 3) & ~3  # rows padded to 4 bytes
     need = stride * h

@@ -7,10 +7,10 @@ progressive JPEG, GIF, uncompressed BMP and PCM WAV decode FOR REAL
 via stdlib-only codecs (``kernels/pngcodec.py`` zlib baseline profile,
 ``kernels/jpegcodec.py`` huffman + numpy IDCT incl. SOF2 multi-scan,
 ``kernels/gifcodec.py`` LZW + palettes,
-``kernels/bmpcodec.py`` BI_RGB 24/32-bit + 1/2/4/8-bit palette +
-BI_RLE8/BI_RLE4,
+``kernels/bmpcodec.py`` BI_RGB 16/24/32-bit + 1/2/4/8-bit palette +
+BI_RLE8/BI_RLE4 + standard 555/565 bitfields,
 ``kernels/wavcodec.py`` via ``wave``); variants needing a real codec
-(arithmetic/12-bit/lossless JPEG, 16-bit/bitfields BMP) and
+(arithmetic/12-bit/lossless JPEG, nonstandard BMP bitfield masks) and
 compressed audio remain the documented ``no_codec`` boundary (a real
 deployment swaps the ``_decode_image`` / ``_decode_audio`` internals
 for PIL/ffmpeg).
@@ -238,8 +238,8 @@ def _decode_image(payload: bytes, container: str):
     (``kernels/{png,jpeg,gif,bmp}codec.py``; reference image loads
     ``segmentation/utils.py:7-14``); the synthetic container parses
     its fixture header. Variants needing a real codec (arithmetic/
-    12-bit JPEG, 16-bit/bitfields BMP) raise NotImplementedError
-    inside the kernel (-> status='no_codec')."""
+    12-bit JPEG, nonstandard BMP bitfield masks) raise
+    NotImplementedError inside the kernel (-> status='no_codec')."""
     if container == "simg":
         return _parse_simg_header(payload)
     if container == "png":
