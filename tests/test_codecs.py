@@ -824,6 +824,35 @@ def test_bmp_16bit_555_and_565_decode():
     pbad = bmp16(v, 3, _struct.pack("<III", 0xF00, 0xF0, 0xF))
     with pytest.raises(NotImplementedError):
         parse_bmp_header(pbad)
+    # top-down 565 BI_BITFIELDS is VALID (only RLE forbids top-down)
+    ptd = bytearray(bmp16(v[::-1], 3, _struct.pack("<III", 0xF800, 0x7E0, 0x1F)))
+    _struct.pack_into("<i", ptd, 22, -h)
+    assert (decode_bmp(bytes(ptd)) == want565).all()
+    # truncated bitfields header is MALFORMED (error), not no_codec
+    with pytest.raises(ValueError):
+        parse_bmp_header(p565[:60])
+
+
+def test_bmp_32bit_standard_bitfields_decode():
+    """32-bit BI_BITFIELDS with the standard 8-8-8 masks is
+    byte-identical to BI_RGB 32-bit and must decode; nonstandard
+    32-bit masks stay no_codec."""
+    import struct as _struct
+
+    img = _rand_img(5, 6, 4, seed=3)
+    payload = bytearray(encode_bmp(img))
+    _struct.pack_into("<I", payload, 30, 3)  # BI_BITFIELDS
+    masked = bytes(payload[:54]) + _struct.pack(
+        "<III", 0xFF0000, 0xFF00, 0xFF
+    ) + bytes(payload[54:])
+    fixed = bytearray(masked)
+    _struct.pack_into("<I", fixed, 10, 54 + 12)  # data offset past masks
+    assert parse_bmp_header(bytes(fixed)) == (6, 5, 4)
+    assert (decode_bmp(bytes(fixed)) == img).all()
+    bad = bytearray(fixed)
+    _struct.pack_into("<III", bad, 54, 0xFF, 0xFF00, 0xFF0000)  # BGR order
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(bytes(bad))
 
 
 def test_gif_subscreen_first_frame_composites_onto_canvas():

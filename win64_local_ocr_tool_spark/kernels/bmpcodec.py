@@ -53,18 +53,26 @@ def _parse_headers(payload: bytes):
     if planes != 1:
         raise ValueError("bad planes count")
     if compression == 3:
-        # BI_BITFIELDS: decode the standard 16-bit masks (555 and 565 —
-        # effectively all real files); exotic masks need a real codec.
-        # The three mask DWORDs sit at offset 54 both when appended
-        # after a 40-byte header and inside V4/V5 headers.
-        if bpp != 16 or len(payload) < 66:
+        # BI_BITFIELDS: decode the standard masks — 16-bit 555/565 and
+        # 32-bit 8-8-8 (byte-identical to the BI_RGB 32-bit layout) —
+        # i.e. effectively all real files; exotic masks need a real
+        # codec. The three mask DWORDs sit at offset 54 both when
+        # appended after a 40-byte header and inside V4/V5 headers.
+        if bpp not in (16, 32):
             raise NotImplementedError(
-                "BI_BITFIELDS outside 16-bit RGB555/565 needs a real codec"
+                "BI_BITFIELDS outside 16/32-bit needs a real codec"
             )
+        if len(payload) < 66:
+            raise ValueError("truncated BMP bitfields header")
         masks = struct.unpack_from("<III", payload, 14 + 40)
-        if masks not in ((0x7C00, 0x3E0, 0x1F), (0xF800, 0x7E0, 0x1F)):
+        ok16 = ((0x7C00, 0x3E0, 0x1F), (0xF800, 0x7E0, 0x1F))
+        if bpp == 16 and masks not in ok16:
             raise NotImplementedError(
                 f"nonstandard 16-bit bitfields {masks} need a real codec"
+            )
+        if bpp == 32 and masks != (0xFF0000, 0xFF00, 0xFF):
+            raise NotImplementedError(
+                f"nonstandard 32-bit bitfields {masks} need a real codec"
             )
     elif compression not in (0, 1, 2):
         raise NotImplementedError(
@@ -78,7 +86,7 @@ def _parse_headers(payload: bytes):
         raise ValueError(f"bad bit depth {bpp}")
     top_down = h < 0
     h = abs(h)
-    if top_down and compression:
+    if top_down and compression in (1, 2):
         raise ValueError("top-down RLE BMP is invalid")
     if w <= 0 or h == 0 or w * h > 64_000_000:
         raise ValueError("bad dimensions")

@@ -624,10 +624,13 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                 elif i % 19 == 4:
                     # real JPEG rows (stdlib huffman+IDCT codec);
                     # alternate baseline and progressive (SOF2) frames
+                    # — 23 = 4+19 is ODD, so progressive rows get the
+                    # 3-channel (and sometimes subsampled) path, not
+                    # just grayscale
                     payload = render_jpeg(
                         64 + (i % 6) * 8, 32 + (i % 4) * 8,
                         3 if i % 2 else 1, seed + i,
-                        progressive=(i % 38 == 4),
+                        progressive=(i % 38 == 23),
                     )
                 elif i % 23 == 9:
                     # real GIF rows (stdlib LZW codec)

@@ -3,8 +3,12 @@
 The operations a 100 TB training-data pipeline runs over the corpus
 after extraction. All shapes are shuffle-lean: shingle explode ->
 equi-join on shingle/band (the only shuffle), never an all-pairs cross
-join. Portable hashing = md5 hex strings (identical in Spark and
-DuckDB), so every step has a real SQL oracle.
+join. Portable hashing: md5 hex strings where a string key suffices,
+and — for the minhash permutations — exact BIGINT arithmetic over two
+32-bit halves of ONE md5 (Spark `conv(..,16,10)` == DuckDB
+`CAST('0x..' AS BIGINT)`, all operands < 2^62 so both engines agree
+bit-for-bit), so every step has a real SQL oracle at a single
+md5-per-unit hashing cost.
 """
 
 from __future__ import annotations
