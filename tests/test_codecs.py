@@ -897,3 +897,48 @@ def test_gif_subscreen_first_frame_composites_onto_canvas():
     _struct.pack_into("<HH", bad, at + 5, 10, 10)  # 10x10 at (5,2)
     with pytest.raises(ValueError, match="exceeds the logical screen"):
         decode_gif(bytes(bad))
+
+
+def test_bmp_bitfields_offset_and_os2_method3_boundaries():
+    """ADVICE r4: (1) a 40-byte-header BI_BITFIELDS file whose
+    data_offset points inside the appended mask DWORDs [54, 66) is
+    MALFORMED — decoding would alias the masks as pixel data; (2) an
+    OS/2 2.x header (dib_size 64) reuses method 3 for Huffman-1D, a
+    real format this codec does not cover (no_codec, not bitfields)."""
+    import struct as _struct
+
+    rng = np.random.default_rng(45)
+    w, h = 7, 5
+    v = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    stride = (w * 2 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 2] = np.frombuffer(
+        v[::-1].astype("<u2").tobytes(), np.uint8
+    ).reshape(h, w * 2)
+    body = rows.tobytes()
+    masks = _struct.pack("<III", 0xF800, 0x7E0, 0x1F)
+    dib = _struct.pack(
+        "<IiihhIIiiII", 40, w, h, 1, 16, 3, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + len(dib) + len(masks)
+    good = (
+        _struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + dib + masks + body
+    )
+    assert parse_bmp_header(good) == (w, h, 3)
+    # data_offset inside the mask DWORDs -> malformed, never aliased
+    for bad_off in (54, 60, 65):
+        bad = bytearray(good)
+        _struct.pack_into("<I", bad, 10, bad_off)
+        with pytest.raises(ValueError):
+            parse_bmp_header(bytes(bad))
+    # OS/2 2.x + method 3 = Huffman-1D -> no_codec before mask parsing
+    os2 = bytearray(good)
+    _struct.pack_into("<I", os2, 14, 64)
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(bytes(os2))
+    # ... and method 4 there is RLE24, equally no_codec
+    os2rle = bytearray(os2)
+    _struct.pack_into("<I", os2rle, 30, 4)
+    with pytest.raises(NotImplementedError):
+        parse_bmp_header(bytes(os2rle))

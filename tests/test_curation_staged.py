@@ -362,3 +362,34 @@ def test_exact_precollapse_preserves_canonical_set(spark, tmp_path):
     assert staged_kept == registry_kept
     # no planted duplicate survives (its original has the smaller id)
     assert not any(d >= 100000 for d in staged_kept)
+
+
+def test_resume_detects_count_equal_content_divergence(spark, staged, tmp_path):
+    """ADVICE r4: a stage table rewritten with the SAME row count but
+    different content (the count-collision a later killed rerun from
+    different upstream data can leave) must not be silently reused —
+    the lineage marker's content fingerprint catches it, the stage
+    recomputes, and the recompute cascades downstream."""
+    import shutil
+
+    root, _stats = staged
+    work2 = tmp_path / "work"
+    shutil.copytree(root / "work", work2)
+    lin2 = tmp_path / "lineage"
+    shutil.copytree(root / "lineage", lin2)
+    # same cardinality, shifted ids: count-only validation would pass
+    pdf = spark.read.parquet(str(work2 / "exact")).toPandas()
+    pdf["doc_id"] = pdf["doc_id"] + 1_000_000
+    shutil.rmtree(work2 / "exact")
+    spark.createDataFrame(pdf).write.parquet(str(work2 / "exact"))
+
+    again = run_curation_staged(
+        spark, SF, str(work2),
+        benchmark_dir=str(root / "bench"),
+        lineage_dir=str(lin2),
+        resume=True,
+    )
+    assert all(not v.get("resumed") for v in again["stages"].values())
+    assert _corpus_fingerprint(spark, str(work2)) == _corpus_fingerprint(
+        spark, str(root / "work")
+    )

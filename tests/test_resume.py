@@ -135,3 +135,28 @@ def test_straggler_report_finds_planted_fat_partition(spark, tmp_path):
     assert ext[0]["skew_x1000"] == 50000  # 5000*1000 div 100
     assert ext[1]["partition_key"] == 3 and ext[1]["n_rows"] == 120
     assert all(r["n_rows"] == 50 for r in by_stage["curate_exact"])
+
+
+def test_straggler_report_deterministic_under_ts_ties(spark, tmp_path):
+    """ADVICE r4: duplicate done-rows for one (stage, partition_key)
+    written in a single append batch share one current_timestamp; the
+    latest-row pick must still be deterministic (n_rows/wall_ms desc
+    tiebreak), not dependent on parquet row order."""
+    from win64_local_ocr_tool_spark.lineage import (
+        append_lineage,
+        read_lineage,
+        straggler_report,
+    )
+
+    lin_dir = str(tmp_path / "lin")
+    counts = spark.createDataFrame(
+        [(3, 10, 0), (3, 999, 0), (1, 5, 0), (2, 7, 0)],
+        "partition_key int, n_rows long, n_errors long",
+    )
+    append_lineage(spark, lin_dir, "extract", counts, wall_ms=50)
+    for _ in range(3):
+        rep = {
+            r["partition_key"]: r
+            for r in straggler_report(read_lineage(spark, lin_dir)).collect()
+        }
+        assert rep[3]["n_rows"] == 999 and rep[3]["rnk"] == 1

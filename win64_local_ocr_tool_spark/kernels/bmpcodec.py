@@ -52,6 +52,13 @@ def _parse_headers(payload: bytes):
     )
     if planes != 1:
         raise ValueError("bad planes count")
+    if dib_size == 64 and compression in (3, 4):
+        # OS/2 2.x reuses the method numbers: 3 = Huffman-1D, 4 =
+        # RLE24 — NOT bitfields/JPEG. Must precede the bitfields
+        # branch or Huffman data decodes as garbage masks.
+        raise NotImplementedError(
+            "OS/2 2.x Huffman-1D/RLE24 BMP needs a real codec"
+        )
     if compression == 3:
         # BI_BITFIELDS: decode the standard masks — 16-bit 555/565 and
         # 32-bit 8-8-8 (byte-identical to the BI_RGB 32-bit layout) —
@@ -74,6 +81,12 @@ def _parse_headers(payload: bytes):
             raise NotImplementedError(
                 f"nonstandard 32-bit bitfields {masks} need a real codec"
             )
+        if dib_size == 40 and data_offset < 66:
+            # masks appended after a 40-byte header occupy [54, 66):
+            # a data_offset inside that range would alias the mask
+            # DWORDs as pixel data (the 14+dib_size floor below only
+            # guards to 54)
+            raise ValueError("BI_BITFIELDS pixel offset overlaps masks")
     elif compression not in (0, 1, 2):
         raise NotImplementedError(
             f"compressed BMP (method {compression}) needs a real codec"

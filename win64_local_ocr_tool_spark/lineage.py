@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LINEAGE_SCHEMA = (
     "stage string, partition_key int, n_rows long, n_errors long, "
-    "wall_ms long, status string, run_id string, ts timestamp"
+    "wall_ms long, status string, run_id string, ts timestamp, fp long"
 )
 
 
@@ -92,7 +92,11 @@ def straggler_report(lin: DataFrame, top_k: int = 5) -> DataFrame:
     the lineage table alone — no Spark UI, no event logs.
 
     Per (stage, partition_key) the LATEST done-row wins (resumes append
-    duplicates). Output grain: one row per stage per top-k partition by
+    duplicates); ties on ts (one append batch logging a key twice, or
+    concurrent runs sharing a current_timestamp) break on n_rows then
+    wall_ms descending, so the report is a deterministic function of
+    the table — rows still tied are identical in every output column.
+    Output grain: one row per stage per top-k partition by
     n_rows, carrying the stage's discrete p50/p99 of per-partition rows
     and an integer skew ratio (n_rows*1000 div p50 — no float columns,
     repo invariant). Percentiles are DISCRETE by explicit rank
@@ -111,7 +115,9 @@ def straggler_report(lin: DataFrame, top_k: int = 5) -> DataFrame:
             "_rn",
             F.row_number().over(
                 W.partitionBy("stage", "partition_key").orderBy(
-                    F.col("ts").desc()
+                    F.col("ts").desc(),
+                    F.col("n_rows").desc(),
+                    F.col("wall_ms").desc(),
                 )
             ),
         )
@@ -148,6 +154,22 @@ def straggler_report(lin: DataFrame, top_k: int = 5) -> DataFrame:
     )
 
 
+def content_fingerprint(df: DataFrame, key_col: str | None = None) -> int:
+    """Order-insensitive integer fingerprint of one thin column (the
+    first column unless ``key_col`` names another): sum of
+    crc32(cast(value as string)). The same distributive-checksum trick
+    ``scripts/dedup_stress.py`` / ``scaling_evidence.py`` use —
+    partition-order independent, recomputable from parquet with a
+    single-column scan, and cheap enough to validate a resume skip
+    (ADVICE r4: a count-equal but content-different stage table must
+    not be silently reused)."""
+    col = key_col or df.columns[0]
+    row = df.select(
+        F.sum(F.crc32(F.col(col).cast("string"))).alias("fp")
+    ).first()
+    return int(row["fp"]) if row["fp"] is not None else 0
+
+
 def append_lineage(
     spark: SparkSession,
     lineage_dir: str,
@@ -155,12 +177,16 @@ def append_lineage(
     per_key_counts: DataFrame,
     wall_ms: int,
     run_id: str | None = None,
+    fp: int | None = None,
 ) -> None:
     """Append one done-row per processed partition_key.
 
     ``per_key_counts``: DataFrame(partition_key int, n_rows long,
     n_errors long). ``wall_ms`` is the stage wall-clock (per-stage, not
     per-partition — local mode has no per-task clock worth logging).
+    ``fp``: optional ``content_fingerprint`` of the stage output; a
+    resume skip-path compares it against the on-disk table (NULL =
+    count-only validation, the pre-r5 behavior).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     rows = (
@@ -169,9 +195,10 @@ def append_lineage(
         .withColumn("status", F.lit("done"))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("ts", F.current_timestamp())
+        .withColumn("fp", F.lit(fp).cast("long"))
         .select(
             "stage", "partition_key", "n_rows", "n_errors",
-            "wall_ms", "status", "run_id", "ts",
+            "wall_ms", "status", "run_id", "ts", "fp",
         )
     )
     rows.write.mode("append").parquet(lineage_dir)

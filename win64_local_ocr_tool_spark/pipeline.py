@@ -324,8 +324,11 @@ def run_curation_staged(
     trusted blindly: a LATER non-resume rerun into the same work_dir
     killed mid-overwrite leaves a corrupt stage table while the first
     run's marker still exists, so a skipped stage is VALIDATED against
-    its marker (footer-only row count == the latest done-row's n_rows;
-    unreadable/mismatched -> recompute), and any recompute CASCADES to
+    its marker (footer-only row count == the latest done-row's n_rows
+    AND an order-insensitive crc fingerprint of the key column matches
+    the marker's — count-equality alone would trust a same-cardinality
+    table rewritten from different upstream data; unreadable or
+    mismatched -> recompute), and any recompute CASCADES to
     every later stage (their tables may derive from the corrupt one).
     Engine-agnostic: no reliance on parquet ``_SUCCESS`` files, so
     stage tables can move behind the Iceberg ``merge_by_key`` seam
@@ -343,28 +346,40 @@ def run_curation_staged(
 
     stats: dict = {"stages": {}, "work_dir": work_dir}
 
-    # latest done-marker row count per stage: the skip path validates
-    # the on-disk table against it (ADVICE r3: marker keyed by stage
-    # name alone would trust a table a LATER killed rerun corrupted)
-    done_stages: dict[str, int] = {}
+    # latest done-marker (row count + content fingerprint) per stage:
+    # the skip path validates the on-disk table against BOTH (ADVICE
+    # r3: marker keyed by stage name alone would trust a table a LATER
+    # killed rerun corrupted; ADVICE r4: count-equality alone would
+    # trust a same-cardinality table rewritten from different upstream
+    # data). Ties on ts break on run_id so the winner is deterministic
+    # under equal timestamps (ADVICE r4).
+    done_stages: dict[str, tuple[int, int | None]] = {}
     if resume:
         if not lineage_dir:
             raise ValueError("resume=True requires lineage_dir")
         lin = read_lineage(spark, lineage_dir)
         if lin is not None:
             latest: dict[str, tuple] = {}
+            cols = ["stage", "n_rows", "ts", "run_id"]
+            has_fp = "fp" in lin.columns
             for r in (
                 lin.filter(
                     (F.col("status") == "done")
                     & F.col("stage").startswith("curate_")
                 )
-                .select("stage", "n_rows", "ts")
+                .select(*cols, *(["fp"] if has_fp else []))
                 .collect()
             ):
                 name = r["stage"][len("curate_"):]
-                if name not in latest or r["ts"] > latest[name][0]:
-                    latest[name] = (r["ts"], r["n_rows"])
-            done_stages = {k: int(v[1]) for k, v in latest.items()}
+                key = (r["ts"], r["run_id"] or "")
+                if name not in latest or key > latest[name][0]:
+                    latest[name] = (
+                        key, r["n_rows"], r["fp"] if has_fp else None
+                    )
+            done_stages = {
+                k: (int(v[1]), None if v[2] is None else int(v[2]))
+                for k, v in latest.items()
+            }
 
     state = {"dirty": False}  # a recompute invalidates later stages
 
@@ -375,22 +390,35 @@ def run_curation_staged(
         # work at DataFrame-BUILD time, so a resumed stage must not
         # even construct its plan — otherwise "skipped" stages still
         # pay nearly their full compute.
+        from .lineage import content_fingerprint
+
         if name in done_stages and not state["dirty"]:
+            want_n, want_fp = done_stages[name]
             try:
-                n = spark.read.parquet(path).count()  # footer-only
+                tbl = spark.read.parquet(path)
+                n = tbl.count()  # footer-only
+                # marker fp NULL (pre-fingerprint lineage row) degrades
+                # to count-only validation; otherwise the skip also
+                # costs one thin-column scan — still far below a
+                # recompute, and it catches the count-collision case
+                ok = n == want_n and (
+                    want_fp is None or content_fingerprint(tbl) == want_fp
+                )
             except Exception:
-                n = -1  # unreadable/missing table -> recompute
-            if n == done_stages[name]:
+                ok = False  # unreadable/missing table -> recompute
+            if ok:
                 stats["stages"][name] = {
                     "rows": int(n), "wall_ms": 0, "resumed": True,
                 }
                 return int(n)
             # stale marker (e.g. a later non-resume rerun SIGKILLed
-            # mid-overwrite left a partial table): fall through
+            # mid-overwrite left a partial/divergent table): fall through
         state["dirty"] = True
         t0 = time.time()
         df_thunk().write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()  # footer-only count
+        written = spark.read.parquet(path)
+        n = written.count()  # footer-only count
+        fp = content_fingerprint(written)
         wall_ms = int((time.time() - t0) * 1000)
         stats["stages"][name] = {"rows": int(n), "wall_ms": wall_ms}
         if lineage_dir:
@@ -399,7 +427,7 @@ def run_curation_staged(
             )
             append_lineage(
                 spark, lineage_dir, f"curate_{name}", counts, wall_ms,
-                run_id=run_id,
+                run_id=run_id, fp=fp,
             )
         return int(n)
 
