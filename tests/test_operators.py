@@ -404,3 +404,112 @@ def test_bounded_bucket_pairs_cc_equal_and_linear(spark):
     # the bridge merges {1,2,3,7} with the megacluster under min label 1
     comp_of = dict(cc_bounded)
     assert comp_of[1005] == 1 and comp_of[1000] == 1 and comp_of[2] == 1
+
+
+def test_bounded_bucket_pairs_subsplit_recovers_and_stays_linear(spark):
+    """Round-5 refinement (r4 verdict item 1): an oversized bucket with
+    a subkey column emits star edges PLUS all-pairs inside the first
+    subkey-prefix level whose occupancy fits the cap. Two members whose
+    subkey separates them from the crowd regain their mutual pair; a
+    crowd sharing one subkey (unsplittable) stays star-only — output
+    remains O(B)."""
+    from win64_local_ocr_tool_spark.operators.lshpairs import (
+        BUCKET_PAIR_CAP,
+        bounded_bucket_pairs,
+    )
+
+    crowd = 198
+    assert crowd > BUCKET_PAIR_CAP
+    rows = [(1000 + i, 0, "mega", "000000000") for i in range(crowd)]
+    rows += [(2000, 0, "mega", "010101010"), (2001, 0, "mega", "010101010")]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band int, bkey string, skey string"
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in bounded_bucket_pairs(
+            bands, "doc_id", "doc_a", "doc_b", subkey_col="skey"
+        ).collect()
+    }
+    # star edges rooted at min id + exactly the one recovered sub pair
+    want = {(1000, 1000 + i) for i in range(1, crowd)}
+    want |= {(1000, 2000), (1000, 2001), (2000, 2001)}
+    assert got == want
+    assert len(got) == (crowd + 2 - 1) + 1  # O(B), not O(B^2)
+
+    # without the subkey the member-member pair is lost (pre-r5 rule)
+    got0 = {
+        (r["doc_a"], r["doc_b"])
+        for r in bounded_bucket_pairs(
+            bands, "doc_id", "doc_a", "doc_b"
+        ).collect()
+    }
+    assert (2000, 2001) not in got0 and len(got0) == crowd + 1
+
+
+def test_dedup_srp_oversized_bucket_recovers_member_pair(spark, tmp_path):
+    """The r4 verdict's planted fixture: in a bucket past the cap, two
+    members that are near-dups of EACH OTHER but nearly orthogonal to
+    the bucket's min-id representative must keep their pair after exact
+    cosine verification — star-only emission would verify them against
+    the rep, fail the threshold, and silently drop the link. The sig
+    table is injected (the band route is oracle-pinned elsewhere) so
+    the bucket geometry is deterministic: one 39-member crowd plus the
+    2 targets share every band key; only the targets' sub-bits differ."""
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.operators.similarity import (
+        _srp_bands,
+        _srp_candidate_pairs,
+        dedup_embedding_srp,
+    )
+    from win64_local_ocr_tool_spark.operators.lshpairs import (
+        bounded_bucket_pairs,
+    )
+
+    rng = np.random.default_rng(99)
+    dim, n_crowd = 64, 39
+    u = rng.standard_normal(dim)
+    u /= np.linalg.norm(u)
+    w = rng.standard_normal(dim)
+    v = w - (w @ u) * u
+    v /= np.linalg.norm(v)
+    X = {}
+    for i in range(n_crowd):
+        x = u + rng.standard_normal(dim) * 0.01
+        X[i] = x / np.linalg.norm(x)
+    for i in (100, 101):
+        x = v + rng.standard_normal(dim) * 0.01
+        X[i] = x / np.linalg.norm(x)
+    spark.createDataFrame(
+        [(i, X[i].astype(np.float32).tolist()) for i in sorted(X)],
+        schema="vec_id long, embedding array<float>",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    sig = spark.createDataFrame(
+        [(i, "0" * 32 + ("1" * 9 if i >= 100 else "0" * 9)) for i in sorted(X)],
+        schema="vec_id long, sig string",
+    )
+    out = dedup_embedding_srp(spark, str(tmp_path), sig=sig).toPandas()
+    got = {(int(r.vec_a), int(r.vec_b)) for r in out.itertuples()}
+    # the mutually-near-dup member pair survives verification
+    assert (100, 101) in got
+    # targets vs rep fail the threshold (orthogonal) and are dropped
+    assert (0, 100) not in got and (0, 101) not in got
+    # crowd members stay linked to the rep through the star edges
+    assert all((0, i) in got for i in range(1, n_crowd))
+
+    # counterfactual: the pre-r5 star-only rule loses the pair entirely
+    cand0 = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in bounded_bucket_pairs(
+            _srp_bands(sig), "vec_id", "id_a", "id_b"
+        ).collect()
+    }
+    assert (100, 101) not in cand0
+    cand1 = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in _srp_candidate_pairs(sig).collect()
+    }
+    assert (100, 101) in cand1

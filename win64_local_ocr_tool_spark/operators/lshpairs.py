@@ -13,8 +13,11 @@ oracle fragment, single source per engine):
 - bucket occupancy <= BUCKET_PAIR_CAP: emit ALL pairs (full pairwise
   fidelity where downstream verification wants it; fan-out per key is
   bounded by the cap);
-- bucket occupancy  > BUCKET_PAIR_CAP: emit STAR edges only — every
-  member paired with the bucket's min-id representative (B-1 edges).
+- bucket occupancy  > BUCKET_PAIR_CAP: emit STAR edges — every member
+  paired with the bucket's min-id representative (B-1 edges) — PLUS,
+  when the band table carries a ``subkey_col`` of extra LSH bits,
+  all-pairs within recursively refined SUB-buckets (round-4 verdict
+  item 1, below).
 
 Connected components — the consumer of the MinHash pairs — are
 PROVABLY unchanged: within any bucket both the star and the all-pairs
@@ -24,15 +27,24 @@ over the union across buckets) is identical to the uncapped join
 the verdict-suggested consecutive-rank chain deliberately: a chain
 turns a B-member bucket into a diameter-(B-1) path, which costs the
 iterative min-label CC O(B) rounds; the star has diameter 2 and
-converges in ~2 rounds. Output rows are bounded by
-N * bands * (cap/2 + 1) — linear in corpus size whatever the
-duplication profile.
+converges in ~2 rounds.
 
-For verification consumers (SRP near-dup pairs get an exact cosine
-check), oversized buckets degrade to rep-vs-member verification only —
-the honest bounded-recall trade at the pathological tail, documented
-on dedup_embedding_srp; small buckets (the overwhelming majority after
-exact-dedup pre-collapse) keep full pairwise fidelity.
+Sub-bucket refinement for VERIFIED consumers (round-4 verdict item 1):
+star-only emission in an oversized bucket loses the link between two
+members that are near-dups of each other but not of the bucket's
+min-id representative once an exact-cosine verify filters the pairs.
+When the caller supplies ``subkey_col`` — a string of EXTRA LSH bits
+(more SRP hyperplanes / more minhash bits, i.e. an extension of the
+band key, so two near-dups collide on a prefix with probability ~
+sim^bits) — an oversized bucket is recursively sub-split by growing
+prefixes of that key (``SUB_BITS_PER_LEVEL`` bits per level, up to
+``SUB_LEVELS`` levels), and ALL pairs are emitted inside the first
+sub-bucket along each pair's common path whose occupancy fits the cap.
+Every level's self-join side is pre-filtered to occupancy <= cap, so
+output stays bounded by N * bands * (levels * cap/2 + 1) — linear in
+corpus size under ANY duplication profile; a sub-bucket still over the
+cap at the deepest level degrades to the star edges (which are always
+emitted in oversized buckets, preserving the CC invariant).
 """
 
 from __future__ import annotations
@@ -40,13 +52,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 BUCKET_PAIR_CAP = 32  # all-pairs emission only in buckets up to this size
+SUB_LEVELS = 3  # sub-split refinement depth for oversized buckets
+SUB_BITS_PER_LEVEL = 3  # band-key bits added per level (8-way split)
 
 
 def bounded_bucket_pairs(
-    bands: DataFrame, id_col: str, out_a: str, out_b: str
+    bands: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    subkey_col: str | None = None,
 ) -> DataFrame:
-    """(out_a < out_b) candidate pairs from a (id, band, bkey) band
-    table under the bounded per-bucket rule above.
+    """(out_a < out_b) candidate pairs from a (id, band, bkey[, subkey])
+    band table under the bounded per-bucket rule above.
 
     Plan shape: per-bucket occupancy + min-id representative come from
     a groupBy (map-side partial agg — a 10^7-member viral bucket's key
@@ -57,7 +75,10 @@ def bounded_bucket_pairs(
     sides and the star branch share one materialization. The self-join
     sides are pre-filtered to occ <= cap, so no join key can fan out
     past cap rows; the star branch is a narrow filter+project with no
-    join at all."""
+    join at all. With ``subkey_col``, sub-level occupancies are
+    computed ONLY over the oversized rows (tiny after exact-dedup
+    pre-collapse) and each level's self-join sides are pre-filtered to
+    that level's occupancy <= cap — the same no-fanout discipline."""
     stats = bands.groupBy("band", "bkey").agg(
         F.count("*").alias("occ"),
         F.min(id_col).alias("rep"),
@@ -78,22 +99,95 @@ def bounded_bucket_pairs(
     star = occ.filter(
         (F.col("occ") > BUCKET_PAIR_CAP) & (F.col(id_col) != F.col("rep"))
     ).select(F.col("rep").alias(out_a), F.col(id_col).alias(out_b))
-    return allp.unionByName(star).distinct()
+    out = allp.unionByName(star)
+
+    if subkey_col is not None:
+        # sub-split refinement over the oversized rows only
+        big = occ.filter(F.col("occ") > BUCKET_PAIR_CAP).select(
+            id_col, "band", "bkey", subkey_col
+        )
+        for lvl in range(1, SUB_LEVELS + 1):
+            big = big.withColumn(
+                f"k{lvl}",
+                F.substring(subkey_col, 1, lvl * SUB_BITS_PER_LEVEL),
+            )
+        for lvl in range(1, SUB_LEVELS + 1):
+            cnt = big.groupBy("band", "bkey", f"k{lvl}").agg(
+                F.count("*").alias(f"occ{lvl}")
+            )
+            big = big.join(cnt, ["band", "bkey", f"k{lvl}"])
+        big = big.localCheckpoint()
+        for lvl in range(1, SUB_LEVELS + 1):
+            # rows whose level-(lvl-1) bucket is still over the cap and
+            # whose level-lvl bucket fits: emit all pairs here — the
+            # FIRST fitting bucket along the pair's common prefix path,
+            # so each pair is emitted at exactly one level
+            fit = F.col(f"occ{lvl}") <= BUCKET_PAIR_CAP
+            if lvl > 1:
+                fit = fit & (F.col(f"occ{lvl - 1}") > BUCKET_PAIR_CAP)
+            side = big.filter(fit)
+            sa = side.alias("a")
+            sb = side.alias("b")
+            out = out.unionByName(
+                sa.join(
+                    sb,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col(f"a.k{lvl}") == F.col(f"b.k{lvl}"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                ).select(
+                    F.col(f"a.{id_col}").alias(out_a),
+                    F.col(f"b.{id_col}").alias(out_b),
+                )
+            )
+    return out.distinct()
 
 
 def bounded_pairs_ctes(
-    bands_cte: str, id_col: str, out_a: str, out_b: str
+    bands_cte: str,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    subkey_col: str | None = None,
 ) -> str:
     """DuckDB twin of ``bounded_bucket_pairs`` as two CTE fragments
     (``occ`` + ``bpairs``) over an existing ``bands_cte(id, band,
-    bkey)``; callers SELECT DISTINCT from ``bpairs``. Composed — never
-    copied — into every oracle that consumes LSH candidate pairs
-    (CLAUDE.md composition rule)."""
+    bkey[, subkey])``; callers SELECT DISTINCT from ``bpairs``.
+    Composed — never copied — into every oracle that consumes LSH
+    candidate pairs (CLAUDE.md composition rule). With ``subkey_col``
+    the fragment adds the sub-split level pair sets (window counts per
+    growing subkey prefix — fine at oracle scale; the Spark side
+    deliberately uses groupBy+join instead, see above)."""
     cap = BUCKET_PAIR_CAP
+    occ_cols = [
+        f"count(*) OVER (PARTITION BY band, bkey) AS occ",
+        f"min({id_col}) OVER (PARTITION BY band, bkey) AS rep",
+    ]
+    sub_sql = ""
+    if subkey_col is not None:
+        for lvl in range(1, SUB_LEVELS + 1):
+            pre = f"substr({subkey_col}, 1, {lvl * SUB_BITS_PER_LEVEL})"
+            occ_cols.append(
+                f"count(*) OVER (PARTITION BY band, bkey, {pre})"
+                f" AS occ{lvl}"
+            )
+        for lvl in range(1, SUB_LEVELS + 1):
+            pre = f"substr({subkey_col}, 1, {lvl * SUB_BITS_PER_LEVEL})"
+            gate = f"a.occ > {cap} AND a.occ{lvl} <= {cap}"
+            if lvl > 1:
+                gate += f" AND a.occ{lvl - 1} > {cap}"
+            sub_sql += f"""
+      UNION ALL
+      SELECT a.{id_col} AS {out_a}, b.{id_col} AS {out_b}
+      FROM occ a JOIN occ b
+        ON a.band = b.band AND a.bkey = b.bkey
+       AND substr(a.{subkey_col}, 1, {lvl * SUB_BITS_PER_LEVEL})
+           = substr(b.{subkey_col}, 1, {lvl * SUB_BITS_PER_LEVEL})
+       AND a.{id_col} < b.{id_col}
+       AND {gate}"""
     return f"""occ AS (
-      SELECT {id_col}, band, bkey,
-             count(*) OVER (PARTITION BY band, bkey) AS occ,
-             min({id_col}) OVER (PARTITION BY band, bkey) AS rep
+      SELECT *,
+             {', '.join(occ_cols)}
       FROM {bands_cte}
     ),
     bpairs AS (
@@ -104,5 +198,5 @@ def bounded_pairs_ctes(
        AND a.occ <= {cap} AND b.occ <= {cap}
       UNION ALL
       SELECT rep AS {out_a}, {id_col} AS {out_b}
-      FROM occ WHERE occ > {cap} AND {id_col} <> rep
+      FROM occ WHERE occ > {cap} AND {id_col} <> rep{sub_sql}
     )"""

@@ -111,13 +111,19 @@ def sim_topk_cosine(spark, sf_dir):
 SRP_BITS = 32  # sign-random-projection signature bits
 SRP_BANDS = 4  # bands of 8 bits (2^8 buckets per band bounds fanout)
 SRP_DIM = 64  # embedding dimensionality (testdata schema)
+# extra hyperplane bits appended to the signature for sub-splitting
+# oversized buckets (lshpairs SUB_LEVELS * SUB_BITS_PER_LEVEL): two
+# near-dups collide on a k-bit prefix with probability ~(1 - theta/pi)^k,
+# so sub-split recall tracks the band collision rate (r4 verdict item 1)
+SRP_SUB_BITS = 9
 
 
 def _srp_signs() -> list[list[float]]:
-    """Deterministic ±1 hyperplanes: sign(b, i) keys off the first hex
-    digit of md5(f"{b}:{i}") — the same engine-portable trick as the
-    MinHash permutations, so Spark and the DuckDB oracle embed the
-    IDENTICAL literal hyperplane arrays."""
+    """Deterministic ±1 hyperplanes (banded bits first, then the
+    sub-split bits): sign(b, i) keys off the first hex digit of
+    md5(f"{b}:{i}") — the same engine-portable trick as the MinHash
+    permutations, so Spark and the DuckDB oracle embed the IDENTICAL
+    literal hyperplane arrays."""
     import hashlib
 
     return [
@@ -127,7 +133,7 @@ def _srp_signs() -> list[list[float]]:
             else -1.0
             for i in range(SRP_DIM)
         ]
-        for b in range(SRP_BITS)
+        for b in range(SRP_BITS + SRP_SUB_BITS)
     ]
 
 
@@ -136,13 +142,14 @@ def _srp_cte_body() -> str:
     CTE fragment shared by ``sim_srp_lsh``, ``dedup_embedding_srp`` and
     ``sim_topk_srp`` (compose, never copy — CLAUDE.md). Pair emission
     is the bounded per-bucket rule from operators/lshpairs.py — the
-    same cap/star discipline as the MinHash route."""
+    same cap/star discipline as the MinHash route, plus the sub-split
+    refinement driven by the SRP_SUB_BITS extra signature bits (skey)."""
     signs = _srp_signs()
     bit_exprs = ", ".join(
         "CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"[{', '.join(str(s) for s in signs[b])}]), 6) >= 0 "
         "THEN '1' ELSE '0' END"
-        for b in range(SRP_BITS)
+        for b in range(SRP_BITS + SRP_SUB_BITS)
     )
     width = SRP_BITS // SRP_BANDS
     return f"""sig AS (
@@ -150,11 +157,12 @@ def _srp_cte_body() -> str:
     ),
     bands AS (
       SELECT vec_id, b.band,
-             substr(sig, b.band * {width} + 1, {width}) AS bkey
+             substr(sig, b.band * {width} + 1, {width}) AS bkey,
+             substr(sig, {SRP_BITS} + 1, {SRP_SUB_BITS}) AS skey
       FROM sig CROSS JOIN
            (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
     ),
-    {bounded_pairs_ctes("bands", "vec_id", "vec_a", "vec_b")},
+    {bounded_pairs_ctes("bands", "vec_id", "vec_a", "vec_b", subkey_col="skey")},
     cand AS (SELECT DISTINCT vec_a, vec_b FROM bpairs)"""
 
 
@@ -175,7 +183,7 @@ def _srp_sig_df(e):
     downstream band self-join shares one materialization."""
     signs = _srp_signs()
     bits = []
-    for b in range(SRP_BITS):
+    for b in range(SRP_BITS + SRP_SUB_BITS):
         h = F.array(*[F.lit(s) for s in signs[b]])
         dot = F.aggregate(
             F.zip_with(
@@ -191,7 +199,9 @@ def _srp_sig_df(e):
 
 
 def _srp_bands(sig):
-    """Explode the signature into (vec_id, band, bkey) bucket rows."""
+    """Explode the signature into (vec_id, band, bkey, skey) bucket
+    rows; skey carries the SRP_SUB_BITS extra bits that refine
+    oversized buckets (lshpairs sub-split)."""
     width = SRP_BITS // SRP_BANDS
     return sig.select(
         "vec_id",
@@ -203,6 +213,7 @@ def _srp_bands(sig):
                 ]
             )
         ).alias("band", "bkey"),
+        F.substring("sig", SRP_BITS + 1, SRP_SUB_BITS).alias("skey"),
     )
 
 
@@ -210,9 +221,11 @@ def _srp_candidate_pairs(sig):
     """(id_a < id_b) candidate pairs from the banded (band, bkey)
     equi-join — never an all-pairs compare, and BOUNDED per bucket
     (lshpairs.bounded_bucket_pairs: all pairs up to BUCKET_PAIR_CAP
-    members, rep-star above, so a hot bucket emits O(B) not O(B^2))."""
+    members; above the cap, rep-star edges PLUS all-pairs within
+    skey-refined sub-buckets, so verified consumers keep member-member
+    links without reopening the quadratic hole)."""
     return bounded_bucket_pairs(
-        _srp_bands(sig), "vec_id", "id_a", "id_b"
+        _srp_bands(sig), "vec_id", "id_a", "id_b", subkey_col="skey"
     )
 
 
@@ -281,10 +294,14 @@ def dedup_embedding_srp(spark, sf_dir, sig=None):
     by key (broadcast-able candidate list at real scale); norms are
     projected once per side before the pair-grain dot. Candidate
     emission is bucket-bounded (lshpairs.BUCKET_PAIR_CAP): buckets past
-    the cap verify members against the bucket representative only —
-    the honest bounded-recall trade at the pathological megacluster
-    tail, where exact-dedup pre-collapse (pipeline.run_curation_staged)
-    has already removed identical payloads."""
+    the cap emit rep-star edges PLUS all-pairs within sub-buckets
+    refined by SRP_SUB_BITS extra hyperplane bits (r4 verdict item 1),
+    so two members that are near-dups of each other but not of the
+    representative keep their link with probability ~ the extra-bit
+    collision rate — full pairwise recall is only unreachable for
+    pairs that also split across every sub-level, a tail the
+    exact-dedup pre-collapse (pipeline.run_curation_staged) has
+    already thinned. Output stays linear by construction."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if sig is None:
         sig = _srp_sig_df(e)
