@@ -103,7 +103,9 @@ EXPORTED = [
     "c2_collapse_runs",
     # --- rows-only by contract (non-SQL-expressible; pytest-pinned) ---
     "extract_e2e",
-    "sim_ann_ivf",
+    "sim_ann_ivf_arrow",  # r5: trained IVF itself is now oracled via
+    # srp_family part=ivfk; this is its Arrow-kernel (production-K)
+    # twin, float-summation-order distinct -> agreement pytest, no hash
     "a10_approx_distinct",
     "extract_stages",
     "media_pipeline",

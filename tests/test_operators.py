@@ -91,7 +91,7 @@ def test_every_query_has_oracle_or_is_documented():
     the known non-SQL-expressible ops (driver records rows-only for
     those)."""
     rows_only_allowed = {
-        "sim_ann_ivf",
+        "sim_ann_ivf_arrow",
         "extract_e2e",
         "extract_stages",
         "media_pipeline",
@@ -120,17 +120,40 @@ def test_export_window_discipline():
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """IVF ANN must recover most of the true top-k (nprobe 4 of 16
     cells on random vectors won't be perfect — the bar is recall@5 of
-    the exact top-1 plus >=50% of the top-5)."""
+    the exact top-1 plus >=50% of the top-5). Runs on BOTH routes: the
+    oracled literal-centroid query and its Arrow-kernel twin."""
     brute = entry.queries()["sim_topk_cosine"](spark, sf_dir).toPandas()
-    ann = entry.queries()["sim_ann_ivf"](spark, sf_dir).toPandas()
-    recall_total = 0.0
-    qids = sorted(brute["qid"].unique())
-    for qid in qids:
-        true_top = set(brute[brute["qid"] == qid]["vec_id"])
-        got_top = set(ann[ann["qid"] == qid]["vec_id"])
-        recall_total += len(true_top & got_top) / len(true_top)
-    recall = recall_total / len(qids)
-    assert recall >= 0.5, f"ANN recall@5 too low: {recall}"
+    for name in ("sim_ann_ivf", "sim_ann_ivf_arrow"):
+        ann = REG[name](spark, sf_dir).toPandas()
+        recall_total = 0.0
+        qids = sorted(brute["qid"].unique())
+        for qid in qids:
+            true_top = set(brute[brute["qid"] == qid]["vec_id"])
+            got_top = set(ann[ann["qid"] == qid]["vec_id"])
+            recall_total += len(true_top & got_top) / len(true_top)
+        recall = recall_total / len(qids)
+        assert recall >= 0.5, f"{name} recall@5 too low: {recall}"
+
+
+def test_ann_ivf_arrow_agrees_with_oracled_route(spark, sf_dir):
+    """The Arrow-kernel IVF (mapInPandas matmul assignment — the
+    production-K plan) and the oracled literal-centroid route share
+    centroids and rerank; their scoring differs only in float summation
+    order, so result sets must agree except at round-6 ties. The gate:
+    >= 90% identical (qid, vec_id) rows."""
+    a = {
+        (int(r.qid), int(r.vec_id))
+        for r in REG["sim_ann_ivf"](spark, sf_dir).toPandas().itertuples()
+    }
+    b = {
+        (int(r.qid), int(r.vec_id))
+        for r in REG["sim_ann_ivf_arrow"](spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    assert len(a) > 0 and len(b) > 0
+    overlap = len(a & b) / max(len(a | b), 1)
+    assert overlap >= 0.9, f"route agreement too low: {overlap}"
 
 
 def test_entry_smoke(spark):

@@ -1024,6 +1024,9 @@ def g_graph_family(spark, sf_dir):
     UNION ALL
     SELECT 'ivf', qid, vec_id, CAST(NULL AS VARCHAR), cosine, rnk
     FROM ({ORACLES["sim_ann_cells"]})
+    UNION ALL
+    SELECT 'ivfk', qid, vec_id, CAST(NULL AS VARCHAR), cosine, rnk
+    FROM ({ORACLES["sim_ann_ivf"]})
     """,
 )
 def srp_family(spark, sf_dir):
@@ -1033,13 +1036,15 @@ def srp_family(spark, sf_dir):
     the LSH-routed top-k rerank (sim_topk_srp), part=dedup the
     LSH-routed near-dup pairs at the baseline threshold
     (dedup_embedding_srp), part=ivf the cell-routed ANN
-    assign->probe->rerank (sim_ann_cells — the round-4 fold that moves
-    the IVF route from rows-only into the hash-matched window; the
-    k-means-trained variant sim_ann_ivf keeps its recall pytest). All
-    components compose the SAME registered DataFrames and oracle
-    fragments — the shared band CTEs are built once in _srp_cte_body —
-    so the driver window checks the production similarity routes end
-    to end."""
+    assign->probe->rerank with the seed quantizer (sim_ann_cells — the
+    round-4 fold that moved the IVF route from rows-only into the
+    hash-matched window), part=ivfk the k-MEANS-TRAINED quantizer
+    (sim_ann_ivf — the round-5 fold: engine-portable integer Lloyd
+    training, SQL twin derives bit-identical centroids; recall pytest
+    retained). All components compose the SAME registered DataFrames
+    and oracle fragments — the shared band CTEs are built once in
+    _srp_cte_body, the search body in _ann_search_ctes — so the driver
+    window checks the production similarity routes end to end."""
     from .tables import load as _load
 
     # ONE signature materialization threaded through all three
@@ -1075,4 +1080,17 @@ def srp_family(spark, sf_dir):
         "cosine",
         "rnk",
     )
-    return base.unionByName(topk).unionByName(ddp).unionByName(ivf)
+    ivfk = similarity.sim_ann_ivf(spark, sf_dir).select(
+        F.lit("ivfk").alias("part"),
+        F.col("qid").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        _nul("string").alias("sig"),
+        "cosine",
+        "rnk",
+    )
+    return (
+        base.unionByName(topk)
+        .unionByName(ddp)
+        .unionByName(ivf)
+        .unionByName(ivfk)
+    )

@@ -4,10 +4,11 @@
   baseline, fully relational (zip_with/aggregate dot products), with a
   DuckDB oracle.
 - ``sim_ann_ivf``: IVF-style ANN — assign vectors to their nearest of K
-  centroid cells, search only the query's nprobe nearest cells. The
-  scale path: candidate set shrinks by ~K/nprobe; implemented with a
-  vectorized numpy kernel inside mapInPandas (Arrow batches), driver
-  check is rows-only, recall vs brute force is pytest-verified.
+  k-means centroid cells, search only the query's nprobe nearest
+  cells. The scale path: candidate set shrinks by ~K/nprobe. The
+  training is engine-portable integer Lloyd (full DuckDB oracle, r5);
+  the Arrow-matmul assignment kernel (production-K plan) lives in
+  ``sim_ann_ivf_arrow`` (rows-only, agreement + recall pytests).
 
 Also the extraction-pipeline driver entries (rows-only): the flagship
 e2e run and the exploded spans table.
@@ -411,22 +412,19 @@ def sim_topk_srp(spark, sf_dir, sig=None):
     )
 
 
-def _ann_cells_sql() -> str:
-    """DuckDB twin of ``sim_ann_cells``: seed centroids = the first
-    IVF_CELLS vectors, assignment/probing by round-6 cosine rank."""
-    return f"""
-    WITH seeds AS (
-      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < {IVF_CELLS}
-    ),
-    arnks AS (
+def _ann_search_ctes() -> str:
+    """assign -> probe -> rerank CTE body shared by the seed-quantizer
+    (``sim_ann_cells``) and k-means-trained (``sim_ann_ivf``) oracles —
+    expects a preceding CTE named ``cents(cell, cv DOUBLE[])`` (compose,
+    never copy — CLAUDE.md)."""
+    return f"""arnks AS (
       SELECT e.vec_id, s.cell,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_cosine_similarity(
                  e.embedding::DOUBLE[], s.cv), 6) DESC, s.cell
              ) AS arnk
-      FROM embeddings e CROSS JOIN seeds s
+      FROM embeddings e CROSS JOIN cents s
     ),
     cells AS (SELECT vec_id, cell FROM arnks WHERE arnk = 1),
     probes AS (
@@ -454,7 +452,18 @@ def _ann_cells_sql() -> str:
       FROM iscored
     )
     SELECT qid, vec_id, round(cos, 4) AS cosine, rnk
-    FROM irnkd WHERE rnk <= {TOPK}
+    FROM irnkd WHERE rnk <= {TOPK}"""
+
+
+def _ann_cells_sql() -> str:
+    """DuckDB twin of ``sim_ann_cells``: seed centroids = the first
+    IVF_CELLS vectors, assignment/probing by round-6 cosine rank."""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {IVF_CELLS}
+    ),
+    {_ann_search_ctes()}
     """
 
 
@@ -470,15 +479,7 @@ def sim_ann_cells(spark, sf_dir):
     assign -> probe -> rerank route, now hash-matched in the driver
     window via ``srp_family`` part='ivf'.
 
-    Plan shape (the 100 TB story): assignment is SHUFFLE-FREE — all
-    IVF_CELLS cosines are computed as columns of one narrow projection
-    against literal seed arrays (collected once driver-side, the
-    one-time-model-load analog), argmax/top-nprobe by array ops, so no
-    16xN exploded row ever shuffles; candidates come from a bounded
-    cell equi-join (probes broadcast); only the per-query top-k window
-    shuffles, and only candidate-sized data. Floats follow the SRP
-    discipline: ordered left-fold dots against literals, round-6 before
-    every comparison, tie-breaks on integer ids."""
+    Plan shape (the 100 TB story): see ``_cells_route``."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed_rows = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
@@ -491,6 +492,26 @@ def sim_ann_cells(spark, sf_dir):
     # positional index over sorted ids is order-isomorphic to the ids,
     # so tie-breaks agree with the oracle's id-ascending ones
     seeds = [seed_rows[k] for k in sorted(seed_rows)]
+    return _cells_route(e, seeds)
+
+
+def _cells_route(e: DataFrame, seeds: list[list[float]]) -> DataFrame:
+    """Literal-centroid assign -> probe -> rerank shared by
+    ``sim_ann_cells`` (seed quantizer) and ``sim_ann_ivf`` (k-means
+    trained quantizer).
+
+    Plan shape (the 100 TB story): assignment is SHUFFLE-FREE — all
+    cell cosines are computed as columns of one narrow projection
+    against literal centroid arrays (collected/trained once
+    driver-side, the one-time-model-load analog), argmax/top-nprobe by
+    array ops, so no K x N exploded row ever shuffles; candidates come
+    from a bounded cell equi-join (probes broadcast); only the
+    per-query top-k window shuffles, and only candidate-sized data. At
+    production cell counts (K ~ 2^16) the literal projection is
+    replaced by the ``ivf_assign`` Arrow matmul kernel — same route,
+    kernel-sized quantizer. Floats follow the SRP discipline: ordered
+    left-fold dots against literals, round-6 before every comparison,
+    tie-breaks on integer ids."""
     n_seeds = len(seeds)
     en = e.withColumn("nrm", _norm_expr(F.col("embedding")))
     sims = []
@@ -564,53 +585,146 @@ def sim_ann_cells(spark, sf_dir):
 
 TRAIN_SAMPLE = 10_000  # centroid-training sample cap (faiss-style)
 KMEANS_ITERS = 8
+QSCALE = 1_000_000  # centroid quantization scale (exact-integer Lloyd)
 
 
-def _train_centroids(X: np.ndarray, k: int, iters: int = KMEANS_ITERS) -> np.ndarray:
-    """Deterministic spherical k-means (Lloyd) on a training sample.
+def _train_centroids(Xq: np.ndarray, k: int, iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Deterministic ENGINE-PORTABLE k-means (Lloyd) on an int64
+    quantized training sample — every value either an exact integer or
+    an IEEE scalar op on exact integers, so the DuckDB oracle's
+    unrolled-SQL twin (``_ivf_train_ctes``) reproduces the centroids
+    bit-for-bit (round-4 verdict item 2):
 
-    Init = first k sample vectors; every step is order-independent
-    numpy math, so the centroids are reproducible bit-for-bit for a
-    fixed sample. Empty cells re-seed from the worst-fit vector —
-    keeps all k cells populated (balanced inverted lists are what make
-    nprobe/K the true cost ratio)."""
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = Xn[:k].copy()
+    - inputs quantized to trunc(x * QSCALE) int64 (|x| <= ~1 and
+      dim 64 keep every dot/sum below 2^53, so even float summation of
+      these integers is EXACT in any order — the portability anchor);
+    - init = first k sample vectors;
+    - assignment score = dot(x, c) / sqrt(|c|^2): BIGINT-exact dot and
+      norm cast to double, one IEEE sqrt + divide -> the identical
+      double in numpy and SQL; argmax ties break on the lower cell id
+      (np.argmax first-max == SQL ORDER BY score DESC, cell);
+    - update = trunc(sum(members) / count) per coordinate (exact int
+      sum, IEEE divide, trunc-toward-zero — same in both engines;
+      DuckDB CAST would round, so the SQL twin uses trunc() too);
+    - empty cells keep their previous centroid (SQL: LEFT JOIN +
+      COALESCE).
+
+    Cosine assignment needs no sample normalization: |x| is constant
+    per vector, so argmax over cells of dot/|c| equals argmax of the
+    cosine."""
+    C = Xq[:k].astype(np.int64).copy()
     for _ in range(iters):
-        sims = Xn @ C.T
-        assign = sims.argmax(axis=1)
+        d = Xq.astype(np.float64) @ C.astype(np.float64).T  # exact ints
+        n2 = (C.astype(np.float64) ** 2).sum(axis=1)  # exact ints
+        score = d / np.sqrt(n2)
+        assign = score.argmax(axis=1)  # first max = lowest cell id
         for c in range(k):
-            members = Xn[assign == c]
+            members = Xq[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
-            else:
-                C[c] = Xn[sims.max(axis=1).argmin()]
-        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+                C[c] = np.trunc(
+                    members.sum(axis=0).astype(np.float64) / len(members)
+                ).astype(np.int64)
     return C
 
 
 def _centroids(spark, sf_dir) -> np.ndarray:
     """Train IVF centroids on a bounded, deterministic sample collected
-    to the driver — standard IVF practice (faiss trains on a sample);
-    at 10^12 vectors the sample is a `LIMIT TRAIN_SAMPLE` over a
-    hash-ordered scan, never the full corpus."""
+    to the driver — standard IVF practice (faiss trains on a sample).
+    The sample is the id-bounded ``vec_id < TRAIN_SAMPLE`` slice (the
+    same predicate the SQL twin uses); at 10^12 vectors it becomes a
+    `LIMIT TRAIN_SAMPLE` over a hash-ordered scan, never the full
+    corpus. Returns int64 QSCALE-quantized centroids."""
     e = load(spark, sf_dir, "embeddings")
     sample = (
-        e.orderBy("vec_id").limit(TRAIN_SAMPLE).select("vec_id", "embedding")
+        e.filter(F.col("vec_id") < TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
     ).collect()
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    return _train_centroids(X, IVF_CELLS)
+    Xq = np.trunc(X * QSCALE).astype(np.int64)
+    return _train_centroids(Xq, IVF_CELLS)
+
+
+def _ivf_train_ctes() -> str:
+    """DuckDB twin of ``_centroids``/``_train_centroids`` as unrolled
+    CTEs ending in ``cents(cell, cv DOUBLE[])`` — the k-means-trained
+    quantizer derived IN SQL from the same id-bounded sample, exact to
+    the numpy training by the integer discipline documented there."""
+    parts = [
+        f"""dims AS (SELECT unnest(generate_series(0, {SRP_DIM - 1})) AS d),
+    sl AS MATERIALIZED (
+      SELECT vec_id, d,
+             CAST(trunc(CAST(embedding[d + 1] AS DOUBLE) * {QSCALE})
+                  AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN dims
+      WHERE vec_id < {TRAIN_SAMPLE}
+    ),
+    cent0 AS MATERIALIZED (
+      SELECT vec_id AS cell, d, xq AS cq FROM sl WHERE vec_id < {IVF_CELLS}
+    )"""
+    ]
+    for t in range(1, KMEANS_ITERS + 1):
+        p = f"cent{t - 1}"
+        parts.append(
+            f"""n{t} AS (SELECT cell, SUM(cq * cq) AS n2 FROM {p} GROUP BY cell),
+    sc{t} AS (
+      SELECT sl.vec_id, {p}.cell,
+             CAST(SUM(sl.xq * {p}.cq) AS DOUBLE)
+               / sqrt(CAST(any_value(n2) AS DOUBLE)) AS score
+      FROM sl JOIN {p} USING (d) JOIN n{t} USING (cell)
+      GROUP BY sl.vec_id, {p}.cell
+    ),
+    asg{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell) AS rn
+        FROM sc{t}) WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT a.cell, sl.d,
+             CAST(trunc(CAST(SUM(sl.xq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cq
+      FROM asg{t} a JOIN sl USING (vec_id)
+      GROUP BY a.cell, sl.d
+    ),
+    cent{t} AS MATERIALIZED (
+      SELECT p.cell, p.d, COALESCE(m.cq, p.cq) AS cq
+      FROM {p} p LEFT JOIN m{t} m ON m.cell = p.cell AND m.d = p.d
+    )"""
+        )
+    parts.append(
+        f"""cents AS (
+      SELECT cell, list(CAST(cq AS DOUBLE) ORDER BY d) AS cv
+      FROM cent{KMEANS_ITERS} GROUP BY cell
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of ``sim_ann_ivf``: SQL-trained k-means quantizer
+    (``_ivf_train_ctes``) composed with the shared search body."""
+    return f"""
+    WITH {_ivf_train_ctes()},
+    {_ann_search_ctes()}
+    """
 
 
 def ivf_assign(spark, sf_dir, cents: np.ndarray | None = None) -> DataFrame:
-    """Cell assignment: nearest of IVF_CELLS k-means centroids.
-    Vectorized numpy matmul per Arrow batch; centroids broadcast once
-    per executor (SURVEY P4: one-time model load analog). Pass
-    ``cents`` to reuse already-trained centroids (sim_ann_ivf trains
-    once and shares them)."""
+    """Cell assignment: nearest (by cosine) of IVF_CELLS k-means
+    centroids. Vectorized numpy matmul per Arrow batch; centroids
+    broadcast once per executor (SURVEY P4: one-time model load
+    analog). This is the PRODUCTION-K assignment kernel — at cell
+    counts where the ``_cells_route`` literal projection stops making
+    sense (K ~ 2^16) the matmul is the plan. Pass ``cents`` to reuse
+    already-trained centroids (``sim_ann_ivf_arrow`` trains once and
+    shares them)."""
     e = load(spark, sf_dir, "embeddings")
     cn = _centroids(spark, sf_dir) if cents is None else cents
-    bc = e.sparkSession.sparkContext.broadcast(cn)
+    cf = cn.astype(np.float64)
+    cf /= np.maximum(np.linalg.norm(cf, axis=1, keepdims=True), 1e-12)
+    bc = e.sparkSession.sparkContext.broadcast(cf)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
@@ -631,14 +745,37 @@ def ivf_assign(spark, sf_dir, cents: np.ndarray | None = None) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf")  # rows-only: recall vs brute force is pytest-gated
+@query("sim_ann_ivf", _ann_ivf_sql())
 def sim_ann_ivf(spark, sf_dir):
-    """IVF ANN: search only the query's IVF_NPROBE nearest cells.
-    The candidate join is an equi-join on cell id (bounded fan-out),
-    not a cross join — the 100 TB shape."""
+    """k-means-trained IVF ANN with a FULL oracle (round-4 verdict item
+    2, moved out of rows-only): centroids come from the engine-portable
+    integer Lloyd training (``_train_centroids`` — the DuckDB twin
+    derives bit-identical centroids in unrolled SQL, ``_ivf_train_ctes``),
+    then the query is the same literal-centroid assign -> probe ->
+    rerank route as ``sim_ann_cells`` (``_cells_route``). Exported in
+    the driver window via ``srp_family`` part='ivfk'. The recall-vs-
+    brute-force pytest is retained; the Arrow-kernel variant of the
+    same search (production-K assignment) lives in
+    ``sim_ann_ivf_arrow`` (rows-only, agreement-tested)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cn = _centroids(spark, sf_dir)
+    seeds = [[float(v) for v in row] for row in cn]
+    return _cells_route(e, seeds)
+
+
+@query("sim_ann_ivf_arrow")  # rows-only: Arrow-kernel route, pytest-gated
+def sim_ann_ivf_arrow(spark, sf_dir):
+    """IVF ANN at the production-K shape: assignment and probing run as
+    broadcast-centroid numpy matmuls inside mapInPandas (Arrow batches)
+    instead of the literal-column projection — the kernel a 2^16-cell
+    deployment uses. Same centroids, same candidate equi-join and exact
+    rerank as ``sim_ann_ivf``; float scoring differs only in summation
+    order, so agreement is pytest-gated (not hash-compared)."""
     cn = _centroids(spark, sf_dir)
     assigned = ivf_assign(spark, sf_dir, cents=cn)
-    bc = assigned.sparkSession.sparkContext.broadcast(cn)
+    cf = cn.astype(np.float64)
+    cf /= np.maximum(np.linalg.norm(cf, axis=1, keepdims=True), 1e-12)
+    bc = assigned.sparkSession.sparkContext.broadcast(cf)
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
