@@ -60,6 +60,32 @@ HEADLINE = [
 ]
 
 
+def _burn(_: int) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def hw_tasks_per_sec() -> float:
+    """One busy-loop calibration pass at CPUS pinned processes — the
+    same raw-CPU probe scripts/scaling_evidence.py uses. Recorded in
+    the output JSON (r4 verdict item 8) so a driver-recorded bench
+    carries its own steal evidence: this VM's external CPU steal swings
+    the probe ~±25%+, and two rounds in a row the single-pass driver
+    bench read as a regression that a quiet re-run reverted. Read the
+    query timings AGAINST this number (and warmup_sec): a low
+    hw_tasks_per_sec or an inflated warmup means the pass landed in a
+    steal window, not that the code regressed."""
+    import multiprocessing as mp
+
+    n = min(CPUS, os.cpu_count() or CPUS)
+    with mp.Pool(n) as p:
+        t0 = time.monotonic()
+        p.map(_burn, range(n))
+        return round(n / (time.monotonic() - t0), 2)
+
+
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -125,6 +151,8 @@ def main() -> None:
     corpus_path = ensure_corpus(spark, n_docs)
     timings["corpus_gen_or_cache"] = round(time.monotonic() - t0, 3)
 
+    hw_pre = hw_tasks_per_sec()
+
     # --- warmup: absorb JVM JIT + Python worker fork (untimed) ---
     docs = spark.read.parquet(corpus_path)
     queries = REG
@@ -171,6 +199,7 @@ def main() -> None:
         ),
         3,
     )
+    hw_post = hw_tasks_per_sec()
     print(
         json.dumps(
             {
@@ -183,6 +212,10 @@ def main() -> None:
                 "extract_docs_per_sec": round(n_docs / extract_sec, 1),
                 "cpus": CPUS,
                 "pinned": bool(os.environ.get("SPARK_GRAFT_PINNED")),
+                # steal-evidence annotations (r4 verdict item 8): judge a
+                # run's timings against its own CPU-contention context
+                "warmup_sec": timings.get("warmup_sec"),
+                "hw_tasks_per_sec": {"pre": hw_pre, "post": hw_post},
             }
         )
     )
