@@ -119,12 +119,14 @@ SRP_DIM = 64  # embedding dimensionality (testdata schema)
 SRP_SUB_BITS = 9
 
 
-def _srp_signs() -> list[list[float]]:
+def _srp_signs(n_bits: int | None = None) -> list[list[float]]:
     """Deterministic ±1 hyperplanes (banded bits first, then the
     sub-split bits): sign(b, i) keys off the first hex digit of
     md5(f"{b}:{i}") — the same engine-portable trick as the MinHash
     permutations, so Spark and the DuckDB oracle embed the IDENTICAL
-    literal hyperplane arrays."""
+    literal hyperplane arrays. ``n_bits`` overrides the total (band +
+    sub) bit count — the generator is an infinite deterministic family,
+    so widening the band key at scale needs no new randomness source."""
     import hashlib
 
     return [
@@ -134,7 +136,7 @@ def _srp_signs() -> list[list[float]]:
             else -1.0
             for i in range(SRP_DIM)
         ]
-        for b in range(SRP_BITS + SRP_SUB_BITS)
+        for b in range(n_bits or (SRP_BITS + SRP_SUB_BITS))
     ]
 
 
@@ -179,12 +181,16 @@ def _srp_lsh_sql() -> str:
     """
 
 
-def _srp_sig_df(e):
+def _srp_sig_df(e, n_bits: int | None = None):
     """Per-vector SRP signature bitstring; localCheckpoint-ed so every
-    downstream band self-join shares one materialization."""
-    signs = _srp_signs()
+    downstream band self-join shares one materialization. ``n_bits``
+    widens the signature beyond the default (the 10^12 band-width knob
+    — see ``_srp_bands``); extra hyperplanes come from the same
+    md5-keyed generator, so any width is deterministic and
+    oracle-expressible."""
+    signs = _srp_signs(n_bits)
     bits = []
-    for b in range(SRP_BITS + SRP_SUB_BITS):
+    for b in range(len(signs)):
         h = F.array(*[F.lit(s) for s in signs[b]])
         dot = F.aggregate(
             F.zip_with(
@@ -199,22 +205,38 @@ def _srp_sig_df(e):
     ).localCheckpoint()
 
 
-def _srp_bands(sig):
+def _srp_bands(
+    sig,
+    bits_per_band: int = SRP_BITS // SRP_BANDS,
+    n_bands: int = SRP_BANDS,
+    sub_bits: int = SRP_SUB_BITS,
+):
     """Explode the signature into (vec_id, band, bkey, skey) bucket
-    rows; skey carries the SRP_SUB_BITS extra bits that refine
-    oversized buckets (lshpairs sub-split)."""
-    width = SRP_BITS // SRP_BANDS
+    rows; skey carries the ``sub_bits`` extra bits that refine
+    oversized buckets (lshpairs sub-split).
+
+    ``bits_per_band`` is THE corpus-size knob (SCALE.md, r4 verdict
+    item 6): expected RANDOM bucket occupancy is N / 2^b (near-uniform
+    band keys — pytest-checked against the binomial model in
+    tests/test_operators.py), so b grows with log2(N) to keep noise
+    occupancy O(1): b=8 covers the sandbox SFs (N <= 2^11), b=40 the
+    10^12 deployment (5 bands x 40 bits = a 200-bit signature +
+    sub-bits; the hyperplane family is unbounded, see _srp_signs).
+    Non-default widths require a matching ``_srp_sig_df(n_bits=
+    n_bands*bits_per_band + sub_bits)`` signature."""
     return sig.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.substring("sig", b * width + 1, width)
-                    for b in range(SRP_BANDS)
+                    F.substring("sig", b * bits_per_band + 1, bits_per_band)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band", "bkey"),
-        F.substring("sig", SRP_BITS + 1, SRP_SUB_BITS).alias("skey"),
+        F.substring(
+            "sig", n_bands * bits_per_band + 1, sub_bits
+        ).alias("skey"),
     )
 
 

@@ -287,14 +287,24 @@ def dedup_lsh_pairs(spark, sf_dir):
     return _pairs_from_sig(dedup_minhash_sig(spark, sf_dir))
 
 
-def _pairs_from_sig(sig):
+def _pairs_from_sig(sig, rows_per_band: int = N_MINHASH // LSH_BANDS):
     """LSH banding + bounded bucket pair emission over a signature
     table — the compute body of ``dedup_lsh_pairs``, factored so the
     staged curation runner (pipeline.run_curation_staged) can feed it a
-    MATERIALIZED signature parquet instead of recomputing shingles."""
-    rows_per_band = N_MINHASH // LSH_BANDS
+    MATERIALIZED signature parquet instead of recomputing shingles.
+
+    ``rows_per_band`` is the MinHash-side band-width knob (r4 verdict
+    item 6, the twin of _srp_bands' bits_per_band): a band collides
+    for a pair at jaccard j with probability j^r, so raising r cuts
+    RANDOM collisions (bucket occupancy noise at 10^12 docs)
+    geometrically while lowering near-dup recall per band — the number
+    of bands is N_MINHASH // r (widen N_MINHASH alongside r to keep
+    recall; signatures cost one affine map per extra row, not an extra
+    md5). Default r=2 x 4 bands fits the sandbox SFs; SCALE.md carries
+    the measured occupancy model."""
+    n_bands = N_MINHASH // rows_per_band
     band_structs = []
-    for b in range(LSH_BANDS):
+    for b in range(n_bands):
         parts = [
             F.col(f"sig{b * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)
