@@ -160,3 +160,92 @@ def test_straggler_report_deterministic_under_ts_ties(spark, tmp_path):
             for r in straggler_report(read_lineage(spark, lin_dir)).collect()
         }
         assert rep[3]["n_rows"] == 999 and rep[3]["rnk"] == 1
+
+
+def test_straggler_resume_splits_planted_fat_partition(spark, tmp_path):
+    """r4 verdict item 3 — the straggler report becomes actionable: a
+    resume over a corpus where a few url-ranges hold ~100x the median
+    partition bytes must (a) flag exactly the giant-doc partitions, (b)
+    route them through the distributed chunk path at the finer byte
+    threshold (the giant payloads exceed it, so they fan out as chunks
+    instead of one fat task), and (c) stay byte-identical to the plain
+    single-path run — the split is a physical re-plan only."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from win64_local_ocr_tool_spark.corpus import _html_page
+    from win64_local_ocr_tool_spark.lineage import with_partition_key
+    from win64_local_ocr_tool_spark.pipeline import run_extraction
+
+    rng = random.Random("fat:1")
+    rows = []
+    for i in range(320):
+        html, _ = _html_page(random.Random(f"s:{i}"), "en", n_paras=3)
+        rows.append((f"https://small.example/{i:04d}", html))
+    giants = []
+    for i in range(2):
+        html, _ = _html_page(random.Random(f"g:{i}"), "en", n_paras=7000)
+        assert len(html) > 1 << 20
+        giants.append(f"https://giant.example/{i}")
+        rows.append((giants[-1], html))
+    docs = spark.createDataFrame(rows, "url string, html binary").withColumn(
+        "n_bytes", F.length("html")
+    )
+
+    base = run_extraction(
+        spark, docs,
+        out_dir=str(tmp_path / "a"), lineage_dir=str(tmp_path / "la"),
+        n_buckets=16,
+    )
+    assert base["straggler_split_partitions"] == []  # not a resume
+
+    stats = run_extraction(
+        spark, docs,
+        out_dir=str(tmp_path / "b"), lineage_dir=str(tmp_path / "lb"),
+        n_buckets=16, resume=True,
+    )
+    giant_keys = {
+        r["partition_key"]
+        for r in with_partition_key(
+            docs.filter(F.col("url").isin(giants)), 16
+        ).select("partition_key").collect()
+    }
+    assert set(stats["straggler_split_partitions"]) == giant_keys
+    # the finer threshold actually catches the giant payloads -> they
+    # take the chunk path (fan-out), bounding any one task's input
+    assert stats["straggler_mega_bytes"] == (8 << 20) // 8
+    assert all(len(r[1]) >= stats["straggler_mega_bytes"] for r in rows[-2:])
+
+    a = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "a")).collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "b")).collect())
+    )
+    assert a == b  # byte-identity across the physical re-plan
+
+
+def test_straggler_keys_from_lineage_report(spark, tmp_path):
+    """The lineage-signal source of _straggler_keys: a prior epoch's
+    extract rows flag a partition at >= the skew ratio; with no
+    n_bytes column the input-size source is skipped and the lineage
+    report alone drives the flag."""
+    from win64_local_ocr_tool_spark.lineage import append_lineage
+    from win64_local_ocr_tool_spark.pipeline import (
+        STRAGGLER_X1000,
+        _straggler_keys,
+    )
+
+    lin_dir = str(tmp_path / "lin")
+    counts = spark.createDataFrame(
+        [(k, 5000 if k == 3 else 50, 0) for k in range(8)],
+        "partition_key int, n_rows long, n_errors long",
+    )
+    append_lineage(spark, lin_dir, "extract", counts, wall_ms=10)
+    assert STRAGGLER_X1000 == 10_000  # 5000 vs p50=50 -> 100x -> flagged
+    docs = spark.createDataFrame(
+        [("https://x.example/1", b"<p>x</p>")], "url string, html binary"
+    )
+    assert _straggler_keys(spark, docs, lin_dir) == {3}
+    assert _straggler_keys(spark, docs, None) == set()

@@ -31,6 +31,63 @@ from .operators.extract import extract_all
 
 STAGE_EXTRACT = "extract"
 
+# a partition at/over this integer skew ratio vs the p50 (the
+# straggler_report convention: ratio * 1000) is a straggler: its
+# documents route through the distributed chunk path at a finer
+# byte threshold instead of re-running as one fat in-task unit
+STRAGGLER_X1000 = 10_000
+
+
+def _straggler_keys(
+    spark: SparkSession,
+    docs: DataFrame,
+    lineage_dir: str | None,
+) -> set[int]:
+    """Partitions to route through the chunk path on resume (r4 verdict
+    item 3 — the straggler report becomes actionable). Two signal
+    sources, union:
+
+    - LINEAGE: ``straggler_report`` rows for the extract stage at/over
+      STRAGGLER_X1000 — partitions a prior epoch observed fat (an
+      incremental re-run over the same key space hits them again);
+    - INPUT BYTES: per-partition sum of the ``n_bytes`` ingest-metadata
+      column over the REMAINING docs (a killed run's fat partition has
+      no lineage row — but its input size is known before any work).
+      One thin-column aggregate, n_buckets output rows; discrete
+      median by explicit rank (the straggler_report convention). Only
+      computed when the column exists — length(html) would cost a full
+      payload scan just to plan one.
+    """
+    from .lineage import straggler_report
+
+    fat: set[int] = set()
+    if lineage_dir:
+        lin = read_lineage(spark, lineage_dir)
+        if lin is not None:
+            rep = straggler_report(lin).filter(
+                (F.col("stage") == STAGE_EXTRACT)
+                & (F.col("skew_x1000") >= STRAGGLER_X1000)
+            )
+            fat |= {int(r["partition_key"]) for r in rep.collect()}
+    if "n_bytes" in docs.columns:
+        sizes = sorted(
+            (int(r["pk"]), int(r["pbytes"]))
+            for r in docs.groupBy(
+                F.col("partition_key").alias("pk")
+            )
+            .agg(F.sum(F.coalesce(F.col("n_bytes"), F.lit(0))).alias("pbytes"))
+            .collect()
+        )
+        if sizes:
+            by_size = sorted(b for _, b in sizes)
+            med = max(by_size[-(-len(by_size) // 2) - 1], 1)
+            fat |= {
+                pk
+                for pk, b in sizes
+                if b * 1000 >= STRAGGLER_X1000 * med
+            }
+    return fat
+
 
 def run_extraction(
     spark: SparkSession,
@@ -44,6 +101,8 @@ def run_extraction(
     chunk_blocks: int = 200,
     run_id: str | None = None,
     commit_batches: int | None = None,
+    split_stragglers: bool = True,
+    straggler_mega_bytes: int | None = None,
 ) -> dict:
     """Run the extraction pipeline.
 
@@ -66,6 +125,15 @@ def run_extraction(
     scanned once per group when it isn't physically partitioned by the
     key — on a production Iceberg table bucketed by hash(url) each
     group prunes to its own files and the extra scans disappear.
+
+    ``split_stragglers`` (resume runs with ``mega_bytes`` set): flagged
+    straggler partitions (``_straggler_keys`` — lineage skew report +
+    input-bytes skew over the remaining work) route through the
+    distributed chunk path at the finer ``straggler_mega_bytes``
+    threshold (default mega_bytes/8) instead of re-running as one fat
+    in-task unit — byte-identical by the halo proof, so this is a
+    physical re-plan only (r4 verdict item 3; planted-partition test
+    in tests/test_resume.py).
     """
     from .lineage import done_keys
     from .operators.extract import EXTRACTED_SCHEMA
@@ -88,18 +156,43 @@ def run_extraction(
         ["n_bytes"] if "n_bytes" in docs.columns else []
     )
 
+    fat_keys: set[int] = set()
+    if resume and split_stragglers and mega_bytes is not None:
+        fat_keys = _straggler_keys(spark, docs, lineage_dir)
+    fine_mega = straggler_mega_bytes or max((mega_bytes or 0) // 8, 64 << 10)
+
     def extract(subset):
-        ext = extract_all(
-            subset.select(*base_cols),
-            mega_bytes=mega_bytes,
-            chunk_blocks=chunk_blocks,
-        )
+        sel = subset.select(*base_cols)
+        if fat_keys:
+            keys = sorted(fat_keys)
+            ext = extract_all(
+                sel.filter(~F.col("partition_key").isin(*keys)),
+                mega_bytes=mega_bytes,
+                chunk_blocks=chunk_blocks,
+            ).unionByName(
+                # straggler partitions: same kernels, finer dispatch —
+                # documents >= fine_mega fan out as chunks across the
+                # cluster instead of one task carrying the whole range
+                extract_all(
+                    sel.filter(F.col("partition_key").isin(*keys)),
+                    mega_bytes=fine_mega,
+                    chunk_blocks=chunk_blocks,
+                )
+            )
+        else:
+            ext = extract_all(
+                sel, mega_bytes=mega_bytes, chunk_blocks=chunk_blocks
+            )
         # extract_all consumes (url, html); re-attach the key derivably
         # (no join — the key is a pure function of url).
         return with_partition_key(ext, n_buckets)
 
     if out_dir is None:
-        return {"extracted": extract(docs), "pruned_partitions": n_pruned}
+        return {
+            "extracted": extract(docs),
+            "pruned_partitions": n_pruned,
+            "straggler_split_partitions": sorted(fat_keys),
+        }
 
     # bucket groups: one group = one write+lineage commit unit
     todo_keys = [k for k in range(n_buckets) if k not in done_before]
@@ -169,6 +262,8 @@ def run_extraction(
         "pruned_partitions": n_pruned,
         "commit_groups": len(groups),
         "wall_ms": wall_total,
+        "straggler_split_partitions": sorted(fat_keys),
+        "straggler_mega_bytes": fine_mega if fat_keys else None,
     }
 
 
