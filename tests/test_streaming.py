@@ -549,3 +549,55 @@ def test_stateful_dedup_epoch_split_invariance(spark, tmp_path, n_epochs):
     pd.testing.assert_frame_equal(
         got.astype({"n_dups": "int64", "representative": "int64"}), want
     )
+
+
+@pytest.mark.parametrize("n_epochs", [1, 4])
+def test_streaming_neardup_epoch_split_invariance(spark, tmp_path, n_epochs):
+    """Streaming NEAR-dup dedup (r4 verdict item 5): the sf0.001 corpus
+    (which plants near-dup clusters) arrives SHUFFLED across 1 or 4
+    epochs, a fresh checkpoint-recovered query per drain. Within any
+    bucket each epoch's members connect among themselves (bounded
+    pairs) and to the representative-so-far (one bridge edge), so full
+    bucket connectivity — hence min-label components, hence the kept
+    set — must EQUAL the batch dedup_canonical_docs twin under any
+    split/order."""
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.operators.registry import QUERIES as REG
+    from win64_local_ocr_tool_spark.streaming.neardup import (
+        drain_dedup_near,
+        near_dedup_components,
+        near_dedup_kept,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pdf = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).toPandas()
+    rng = np.random.default_rng(31 + n_epochs)
+    order = rng.permutation(len(pdf))
+    d_in = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    for k, chunk in enumerate(np.array_split(order, n_epochs)):
+        _land(pdf.iloc[chunk].reset_index(drop=True), d_in, f"e{k}.parquet")
+        drain_dedup_near(spark, d_in, work, ckpt)
+
+    comps = near_dedup_components(spark, work)
+    kept = {
+        r["doc_id"] for r in near_dedup_kept(docs, comps).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in REG["dedup_canonical_docs"](spark, sf).collect()
+    }
+    assert kept == want
+    # dedup structure really planted: clusters collapsed
+    assert len(kept) < docs.count()
+    # min-label discipline: every component label is a kept member
+    comp_rows = comps.collect()
+    labels = {r["component"] for r in comp_rows}
+    assert labels <= kept
+    for r in comp_rows:
+        assert r["component"] <= r["doc_id"]

@@ -302,6 +302,17 @@ def _pairs_from_sig(sig, rows_per_band: int = N_MINHASH // LSH_BANDS):
     recall; signatures cost one affine map per extra row, not an extra
     md5). Default r=2 x 4 bands fits the sandbox SFs; SCALE.md carries
     the measured occupancy model."""
+    return bounded_bucket_pairs(
+        _bands_from_sig(sig, rows_per_band), "doc_id", "doc_a", "doc_b"
+    )
+
+
+def _bands_from_sig(sig, rows_per_band: int = N_MINHASH // LSH_BANDS):
+    """(doc_id, band, bkey) band rows from a signature table — one pass
+    (explode of an inline band array, see dedup_lsh_pairs' plan note).
+    Factored from ``_pairs_from_sig`` so the streaming near-dup twin
+    (streaming/neardup.py) bands each arriving batch with the IDENTICAL
+    bucket definition the batch route uses."""
     n_bands = N_MINHASH // rows_per_band
     band_structs = []
     for b in range(n_bands):
@@ -315,11 +326,14 @@ def _pairs_from_sig(sig, rows_per_band: int = N_MINHASH // LSH_BANDS):
                 F.md5(F.concat_ws(":", *parts)).alias("bkey"),
             )
         )
-    bands = (
+    return (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
+        )
     )
-    return bounded_bucket_pairs(bands, "doc_id", "doc_a", "doc_b")
 
 
 _HI_HEX = "'8','9','a','b','c','d','e','f'"
