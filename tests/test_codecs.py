@@ -942,3 +942,108 @@ def test_bmp_bitfields_offset_and_os2_method3_boundaries():
     _struct.pack_into("<I", os2rle, 30, 4)
     with pytest.raises(NotImplementedError):
         parse_bmp_header(bytes(os2rle))
+
+
+def test_mp3_frame_walk_metadata_exact():
+    """MP3 metadata kernel (r4 verdict item 7 — the last no_codec class
+    with real crawl share): frame-header walk yields exact frame count,
+    duration and VBR-correct average bitrate; ID3v2 prefixes and ID3v1
+    trailers are skipped; the boundary split holds (free-format ->
+    NotImplementedError, junk/truncation -> ValueError)."""
+    from win64_local_ocr_tool_spark.kernels.mp3meta import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    # MPEG1 Layer III, 44100 Hz, br_idx 9 = 128 kbps, stereo
+    p = encode_mp3_frames(12, version=3, layer=3, br_idx=9, sr_idx=0)
+    m = parse_mp3_meta(p)
+    assert m == {
+        "version": "MPEG1", "layer": 3, "sample_rate": 44100,
+        "channels": 2, "n_frames": 12,
+        "duration_ms": 12 * 1152 * 1000 // 44100, "bitrate_kbps": 128,
+    }
+    # ID3v2 tag + mono MPEG2 Layer II at 22050
+    p2 = encode_mp3_frames(
+        7, version=2, layer=2, br_idx=4, sr_idx=0, mono=True, id3_bytes=200
+    )
+    m2 = parse_mp3_meta(p2)
+    assert (m2["version"], m2["layer"], m2["channels"]) == ("MPEG2", 2, 1)
+    assert m2["sample_rate"] == 22050 and m2["n_frames"] == 7
+    # ID3v1 trailer tolerated
+    m3 = parse_mp3_meta(p + b"TAG" + bytes(125))
+    assert m3["n_frames"] == 12
+    # truncated final frame: whole frames only
+    assert parse_mp3_meta(p[:-30])["n_frames"] == 11
+    # VBR: alternate two bitrates -> exact average
+    a = encode_mp3_frames(3, br_idx=9)   # 128
+    b = encode_mp3_frames(3, br_idx=13)  # 256
+    frames = a + b
+    mv = parse_mp3_meta(frames)
+    assert mv["n_frames"] == 6 and mv["bitrate_kbps"] == (128 * 3 + 256 * 3) // 6
+    # boundaries
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"not audio at all" * 10)
+    with pytest.raises(ValueError):
+        parse_mp3_meta(p[:3])
+    free = bytearray(p)
+    free[2] = (0 << 4) | (free[2] & 0x0F)  # br_idx 0 = free-format
+    with pytest.raises(NotImplementedError):
+        parse_mp3_meta(bytes(free))
+
+
+def test_mp3_parse_never_hangs_on_corrupt(spark):
+    """Byte-flip fuzz over a valid file: parse either returns metadata
+    or raises the typed boundary errors — never hangs, never an
+    uncontrolled exception type."""
+    import random as _random
+
+    from win64_local_ocr_tool_spark.kernels.mp3meta import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    rng = _random.Random(5)
+    base = bytearray(encode_mp3_frames(6, id3_bytes=30))
+    for _ in range(300):
+        p = bytearray(base)
+        for _f in range(rng.randint(1, 6)):
+            p[rng.randrange(len(p))] = rng.randrange(256)
+        try:
+            m = parse_mp3_meta(bytes(p[: rng.randrange(4, len(p))]))
+            assert m["n_frames"] >= 1
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_media_metadata_on_mp3(spark):
+    """media_metadata emits populated typed audio rows for MP3 payloads
+    (sample_rate, channels, duration) — not bare no_codec; the
+    byte-histogram feature stand-in (which never decodes any container)
+    keeps working and classifies the payload as audio."""
+    from win64_local_ocr_tool_spark.kernels.mp3meta import encode_mp3_frames
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_features,
+        media_metadata,
+        sniff_container,
+    )
+
+    p1 = encode_mp3_frames(10, version=3, layer=3, br_idx=9, sr_idx=0)
+    p2 = encode_mp3_frames(
+        5, version=2, layer=3, br_idx=3, sr_idx=1, mono=True, id3_bytes=50
+    )
+    assert sniff_container(p1) == "mp3" and sniff_container(p2) == "mp3"
+    df = spark.createDataFrame(
+        [(1, p1), (2, p2)], schema="media_id long, payload binary"
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    r1 = meta[1]
+    assert (r1["container"], r1["kind"], r1["status"]) == ("mp3", "audio", "ok")
+    assert r1["sample_rate"] == 44100 and r1["n_channels"] == 2
+    assert r1["duration_ms"] == 10 * 1152 * 1000 // 44100
+    r2 = meta[2]
+    assert (r2["sample_rate"], r2["n_channels"], r2["status"]) == (
+        24000, 1, "ok")
+    assert r2["duration_ms"] == 5 * 576 * 1000 // 24000
+    feats = {r["media_id"]: r for r in media_features(df, dim=4).collect()}
+    assert (feats[1]["status"], feats[1]["kind"]) == ("ok", "audio")

@@ -1,0 +1,183 @@
+"""MP3 frame-header metadata — the METADATA-ONLY audio boundary.
+
+Compressed audio (dominant payload: MPEG-1/2 Layer III) was the one
+remaining ``no_codec`` class with real crawl share (r4 verdict item 7).
+Full decode is out of scope for a stdlib sandbox (hybrid filterbank +
+huffman, huge, and unvalidatable without a real decoder); what a
+training-data pipeline actually needs from an audio payload is typed
+METADATA — version, layer, sample rate, channel count, bitrate and a
+duration estimate — and all of that lives in the 4-byte frame headers
+(ISO/IEC 11172-3 / 13818-3 framing), which this module parses for
+real: ID3v2 tag skipping, frame-sync scan, per-frame header fields,
+and a full frame walk (so VBR files get an exact frame count and a
+true average bitrate, not the first frame's). The payload bits are
+never decoded; ``NotImplementedError`` marks the free-format-bitrate
+corner (a real codec's job), ``ValueError`` marks malformed payloads —
+the same boundary discipline as the image codecs.
+
+The ``encode_mp3_frames`` fixture synthesizer emits spec-valid frame
+headers with deterministic dummy payload bytes — enough for the
+metadata path, which is the only path that exists for this container.
+"""
+
+from __future__ import annotations
+
+# bitrate tables (kbps), indexed by [version-group][layer][idx 1..14]
+_BR_V1 = {
+    1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_BR_V2 = {
+    1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_SR = {
+    0: [11025, 12000, 8000],
+    2: [22050, 24000, 16000],
+    3: [44100, 48000, 32000],
+}
+_VERSION_NAME = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}
+_SYNC_SCAN_LIMIT = 4096  # junk tolerated before the first frame sync
+
+
+def _parse_frame_header(b0: int, b1: int, b2: int, b3: int):
+    """(version_bits, layer, bitrate_kbps, sample_rate, channels,
+    samples_per_frame, frame_len) for one 4-byte header, or None if the
+    bytes are not a valid frame header (the sync-scan probe)."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver = (b1 >> 3) & 3
+    layer_bits = (b1 >> 1) & 3
+    if ver == 1 or layer_bits == 0:
+        return None  # reserved version / reserved layer
+    layer = 4 - layer_bits  # 11->I, 10->II, 01->III
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx == 0xF or sr_idx == 3:
+        return None
+    if (b3 & 3) == 2:
+        return None  # reserved emphasis
+    if br_idx == 0:
+        # free-format bitrate: frame size must be inferred by decoding —
+        # a real codec's job (the NotImplementedError boundary; callers
+        # translate after locating a first otherwise-valid header)
+        return "free"
+    table = _BR_V1 if ver == 3 else _BR_V2
+    bitrate = table[layer][br_idx]
+    sr = _SR[ver][sr_idx]
+    pad = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bitrate * 1000 // sr + pad) * 4
+    else:
+        spf = 1152 if (layer == 2 or ver == 3) else 576
+        frame_len = spf // 8 * bitrate * 1000 // sr + pad
+    return ver, layer, bitrate, sr, channels, spf, frame_len
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk every frame; return typed metadata:
+
+    {version, layer, sample_rate, channels, n_frames, duration_ms,
+     bitrate_kbps (exact average over frames — VBR-correct)}.
+
+    ID3v2 tags are skipped (syncsafe size), an ID3v1 trailer ("TAG",
+    128 bytes) is tolerated, and up to _SYNC_SCAN_LIMIT bytes of
+    leading junk are scanned for the first sync. Malformed (no valid
+    frame) -> ValueError; free-format bitrate -> NotImplementedError."""
+    off = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for i in range(6, 10):
+            size = (size << 7) | (payload[i] & 0x7F)
+        off = 10 + size
+    end = len(payload)
+    if end >= 128 and payload[end - 128: end - 125] == b"TAG":
+        end -= 128
+    # scan for the first valid frame header
+    first = None
+    scan_end = min(off + _SYNC_SCAN_LIMIT, end - 4)
+    while off <= scan_end:
+        h = _parse_frame_header(
+            payload[off], payload[off + 1], payload[off + 2], payload[off + 3]
+        )
+        if h == "free":
+            raise NotImplementedError(
+                "free-format MP3 bitrate needs a real codec"
+            )
+        if h is not None:
+            first = h
+            break
+        off += 1
+    if first is None:
+        raise ValueError("no MP3 frame sync found")
+    ver, layer, _, sr, channels, _, _ = first
+    n_frames = 0
+    samples = 0
+    bitrate_sum = 0
+    while off + 4 <= end:
+        h = _parse_frame_header(
+            payload[off], payload[off + 1], payload[off + 2], payload[off + 3]
+        )
+        if h is None or h == "free":
+            break  # trailing junk after the last whole frame
+        hv, hl, bitrate, hsr, _ch, spf, frame_len = h
+        if (hv, hl, hsr) != (ver, layer, sr):
+            break  # a different stream glued on: stop at the boundary
+        if frame_len < 4 or off + frame_len > end:
+            break  # truncated final frame: count whole frames only
+        n_frames += 1
+        samples += spf
+        bitrate_sum += bitrate
+        off += frame_len
+    if n_frames == 0:
+        raise ValueError("truncated MP3: sync found but no whole frame")
+    return {
+        "version": _VERSION_NAME[ver],
+        "layer": layer,
+        "sample_rate": sr,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": samples * 1000 // sr,
+        "bitrate_kbps": bitrate_sum // n_frames,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    *,
+    version: int = 3,
+    layer: int = 3,
+    br_idx: int = 9,
+    sr_idx: int = 0,
+    mono: bool = False,
+    id3_bytes: int = 0,
+    seed: int = 1,
+) -> bytes:
+    """Spec-valid MP3 frame headers + deterministic dummy payload — the
+    metadata-path fixture (the payload bits are never decoded). Padding
+    bit alternates so the frame walk exercises both lengths."""
+    out = bytearray()
+    if id3_bytes:
+        out += b"ID3\x04\x00\x00" + bytes(
+            (id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += bytes((seed + i) % 251 for i in range(id3_bytes))
+    layer_bits = 4 - layer
+    for i in range(n_frames):
+        pad = i % 2
+        b1 = 0xE0 | (version << 3) | (layer_bits << 1) | 1
+        b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+        b3 = (0xC0 if mono else 0x00)
+        h = _parse_frame_header(0xFF, b1, b2, b3)
+        assert h not in (None, "free")
+        frame_len = h[6]
+        out += bytes((0xFF, b1, b2, b3))
+        out += bytes(
+            (seed * 31 + i * 7 + j) % 256 for j in range(frame_len - 4)
+        )
+    return bytes(out)

@@ -910,10 +910,13 @@ def media_pipeline(spark, sf_dir):
     """The four multimodal plumbing stages (metadata sniff, feature
     extract, resize, frame sample) under one rows-only entry; each
     branch keeps its media_id/status and packs dimensions into
-    (d1, d2, n_bytes). PNG / baseline JPEG / GIF / uncompressed BMP /
-    PCM WAV / synthetic containers all decode for real (stdlib codecs,
-    test_codecs.py); only variants needing a real codec (non-baseline
-    JPEG, palette/RLE BMP) stay behind the no_codec boundary."""
+    (d1, d2, n_bytes). PNG / baseline+progressive JPEG / GIF /
+    palette+RLE+truecolor BMP / PCM WAV / synthetic containers all
+    decode for real (stdlib codecs, test_codecs.py); MP3 yields typed
+    metadata rows from its frame headers (kernels/mp3meta.py, r5 —
+    payload bits stay undecoded); only variants needing a real codec
+    (arithmetic/12-bit JPEG, exotic BMP bitfields, free-format MP3)
+    stay behind the no_codec boundary."""
     meta = multimodal.media_metadata_q(spark, sf_dir)
     feat = multimodal.media_features_q(spark, sf_dir)
     rez = multimodal.media_resize_q(spark, sf_dir)

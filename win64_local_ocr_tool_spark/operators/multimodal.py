@@ -9,11 +9,14 @@ via stdlib-only codecs (``kernels/pngcodec.py`` zlib baseline profile,
 ``kernels/gifcodec.py`` LZW + palettes,
 ``kernels/bmpcodec.py`` BI_RGB 16/24/32-bit + 1/2/4/8-bit palette +
 BI_RLE8/BI_RLE4 + standard 555/565 bitfields,
-``kernels/wavcodec.py`` via ``wave``); variants needing a real codec
-(arithmetic/12-bit/lossless JPEG, nonstandard BMP bitfield masks) and
-compressed audio remain the documented ``no_codec`` boundary (a real
-deployment swaps the ``_decode_image`` / ``_decode_audio`` internals
-for PIL/ffmpeg).
+``kernels/wavcodec.py`` via ``wave``); MP3 — the dominant compressed
+audio payload — yields typed METADATA rows from a real frame-header
+walk (``kernels/mp3meta.py``: version/layer/rate/channels/duration/
+VBR-average bitrate) while its payload bits stay undecoded; variants
+needing a real codec (arithmetic/12-bit/lossless JPEG, nonstandard BMP
+bitfield masks, free-format MP3, full compressed-audio decode) remain
+the documented ``no_codec`` boundary (a real deployment swaps the
+``_decode_image`` / ``_decode_audio`` internals for PIL/ffmpeg).
 Everything Spark-side is real and tested: schemas, metadata sniffing,
 Arrow batch shapes, partitioning, and the iterator-UDF init pattern
 (one-time heavy init per executor, reference
@@ -36,7 +39,8 @@ from pyspark.sql import DataFrame
 
 MEDIA_META_SCHEMA = (
     "media_id long, kind string, container string, width int, height int, "
-    "n_channels int, sample_rate int, n_bytes long, status string"
+    "n_channels int, sample_rate int, duration_ms long, n_bytes long, "
+    "status string"
 )
 
 FEATURE_SCHEMA = (
@@ -73,6 +77,20 @@ def sniff_container(payload: bytes) -> str:
             ):
                 continue
             return name
+    # MP3 has no container magic: an ID3v2 tag, or a bare frame sync
+    # whose header FIELDS must validate (11-bit sync alone matches 1 in
+    # 2048 of random bytes; requiring valid version/layer/bitrate/
+    # samplerate/emphasis cuts the false-positive rate ~50x further,
+    # and JPEG's FF D8 fails the sync's third F). Free-format headers
+    # sniff as mp3 too — the parser raises NotImplementedError there
+    # (-> no_codec), which is the right classification for them.
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if len(payload) >= 4:
+        from ..kernels.mp3meta import _parse_frame_header
+
+        if _parse_frame_header(*payload[:4]) is not None:
+            return "mp3"
     return "unknown"
 
 
@@ -340,6 +358,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
                     "height": None,
                     "n_channels": None,
                     "sample_rate": None,
+                    "duration_ms": None,
                     "n_bytes": len(payload),
                     "status": "ok",
                 }
@@ -350,8 +369,24 @@ def media_metadata(media: DataFrame) -> DataFrame:
                         row.update(width=w, height=h, n_channels=c)
                     elif container in ("wav", "saud"):
                         row["kind"] = "audio"
-                        sr, _n = _decode_audio(payload, container)
-                        row.update(sample_rate=sr)
+                        sr, n = _decode_audio(payload, container)
+                        row.update(
+                            sample_rate=sr, duration_ms=n * 1000 // max(sr, 1)
+                        )
+                    elif container == "mp3":
+                        # metadata-only boundary (kernels/mp3meta.py):
+                        # frame headers yield typed audio rows; the
+                        # payload bits stay undecoded (full decode =
+                        # ffmpeg's job at deployment)
+                        from ..kernels.mp3meta import parse_mp3_meta
+
+                        row["kind"] = "audio"
+                        m = parse_mp3_meta(payload)
+                        row.update(
+                            sample_rate=m["sample_rate"],
+                            n_channels=m["channels"],
+                            duration_ms=m["duration_ms"],
+                        )
                     else:
                         row["status"] = "error"
                 except NotImplementedError:
@@ -363,7 +398,8 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "kind", "container", "width", "height",
-                    "n_channels", "sample_rate", "n_bytes", "status",
+                    "n_channels", "sample_rate", "duration_ms", "n_bytes",
+                    "status",
                 ],
             )
 
@@ -651,7 +687,26 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                             3 if i % 2 else 4, seed + i,
                         )
                 elif i % 7 == 3:
-                    payload = render_saud(8000 + (i % 4) * 8000, 1000 + i, seed + i)
+                    if i % 21 == 3:
+                        # real MP3 frame-header rows (metadata-only
+                        # boundary, kernels/mp3meta.py): vary version/
+                        # layer/bitrate/rate/channels + an ID3v2 tag
+                        from ..kernels.mp3meta import encode_mp3_frames
+
+                        payload = encode_mp3_frames(
+                            8 + i % 11,
+                            version=3 if i % 2 else 2,
+                            layer=3 if i % 3 else 2,
+                            br_idx=5 + i % 7,
+                            sr_idx=i % 3,
+                            mono=bool(i % 5 == 0),
+                            id3_bytes=64 if i % 4 == 0 else 0,
+                            seed=seed + i,
+                        )
+                    else:
+                        payload = render_saud(
+                            8000 + (i % 4) * 8000, 1000 + i, seed + i
+                        )
                 elif i % 11 == 5:
                     payload = b"\x00garbage" + bytes([i % 256] * 16)
                 else:
