@@ -1047,3 +1047,50 @@ def test_media_metadata_on_mp3(spark):
     assert r2["duration_ms"] == 5 * 576 * 1000 // 24000
     feats = {r["media_id"]: r for r in media_features(df, dim=4).collect()}
     assert (feats[1]["status"], feats[1]["kind"]) == ("ok", "audio")
+
+
+def test_adts_frame_walk_metadata_exact(spark):
+    """AAC-ADTS metadata twin of the MP3 walk: explicit 13-bit frame
+    lengths, raw-data-block sample accounting, CRC headers, and the
+    boundary split (channel-config 0 -> NotImplementedError, junk ->
+    ValueError). The MP3 and ADTS sniffs must be disjoint."""
+    from win64_local_ocr_tool_spark.kernels.mp3meta import (
+        encode_adts_frames,
+        encode_mp3_frames,
+        parse_adts_meta,
+    )
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_metadata,
+        sniff_container,
+    )
+
+    p = encode_adts_frames(10, profile=1, sfi=4, channels=2, body_bytes=300)
+    m = parse_adts_meta(p)
+    assert m["profile"] == "AAC-LC" and m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["n_frames"] == 10
+    assert m["duration_ms"] == 10 * 1024 * 1000 // 44100
+    assert m["bitrate_kbps"] == 10 * 307 * 8 * 44100 // (10 * 1024 * 1000)
+    # CRC variant: 9-byte headers walk correctly
+    pc = encode_adts_frames(6, crc=True, sfi=8, channels=1)
+    mc = parse_adts_meta(pc)
+    assert (mc["n_frames"], mc["sample_rate"], mc["channels"]) == (6, 16000, 1)
+    # truncated final frame: whole frames only
+    assert parse_adts_meta(p[:-10])["n_frames"] == 9
+    # boundaries
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        parse_adts_meta(encode_adts_frames(3, channels=0))
+    with _pytest.raises(ValueError):
+        parse_adts_meta(b"\x00" * 64)
+    # sniffs are disjoint and both reach typed rows end-to-end
+    mp3 = encode_mp3_frames(5)
+    assert sniff_container(p) == "aac" and sniff_container(mp3) == "mp3"
+    df = spark.createDataFrame(
+        [(1, p), (2, mp3)], schema="media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert (rows[1]["container"], rows[1]["kind"], rows[1]["status"]) == (
+        "aac", "audio", "ok")
+    assert rows[1]["sample_rate"] == 44100 and rows[1]["duration_ms"] == m["duration_ms"]
+    assert rows[2]["container"] == "mp3" and rows[2]["status"] == "ok"

@@ -86,7 +86,17 @@ def sniff_container(payload: bytes) -> str:
     # (-> no_codec), which is the right classification for them.
     if payload[:3] == b"ID3":
         return "mp3"
-    if len(payload) >= 4:
+    if len(payload) >= 7:
+        # ADTS first: its frames carry layer bits 00, which the MP3
+        # header parser rejects as reserved — the two sniffs are
+        # disjoint by construction (kernels/mp3meta.py docstring)
+        from ..kernels.mp3meta import _parse_adts_header, _parse_frame_header
+
+        if _parse_adts_header(payload, 0) is not None:
+            return "aac"
+        if _parse_frame_header(*payload[:4]) is not None:
+            return "mp3"
+    elif len(payload) >= 4:
         from ..kernels.mp3meta import _parse_frame_header
 
         if _parse_frame_header(*payload[:4]) is not None:
@@ -373,15 +383,22 @@ def media_metadata(media: DataFrame) -> DataFrame:
                         row.update(
                             sample_rate=sr, duration_ms=n * 1000 // max(sr, 1)
                         )
-                    elif container == "mp3":
+                    elif container in ("mp3", "aac"):
                         # metadata-only boundary (kernels/mp3meta.py):
                         # frame headers yield typed audio rows; the
                         # payload bits stay undecoded (full decode =
                         # ffmpeg's job at deployment)
-                        from ..kernels.mp3meta import parse_mp3_meta
+                        from ..kernels.mp3meta import (
+                            parse_adts_meta,
+                            parse_mp3_meta,
+                        )
 
                         row["kind"] = "audio"
-                        m = parse_mp3_meta(payload)
+                        m = (
+                            parse_mp3_meta(payload)
+                            if container == "mp3"
+                            else parse_adts_meta(payload)
+                        )
                         row.update(
                             sample_rate=m["sample_rate"],
                             n_channels=m["channels"],
@@ -687,7 +704,20 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                             3 if i % 2 else 4, seed + i,
                         )
                 elif i % 7 == 3:
-                    if i % 21 == 3:
+                    if i % 21 == 10:
+                        # real AAC-ADTS frame rows (metadata-only)
+                        from ..kernels.mp3meta import encode_adts_frames
+
+                        payload = encode_adts_frames(
+                            4 + i % 9,
+                            profile=i % 3,
+                            sfi=3 + i % 6,
+                            channels=1 + i % 3,
+                            crc=bool(i % 2),
+                            body_bytes=100 + i % 77,
+                            seed=seed + i,
+                        )
+                    elif i % 21 == 3:
                         # real MP3 frame-header rows (metadata-only
                         # boundary, kernels/mp3meta.py): vary version/
                         # layer/bitrate/rate/channels + an ID3v2 tag
