@@ -1094,3 +1094,64 @@ def test_adts_frame_walk_metadata_exact(spark):
         "aac", "audio", "ok")
     assert rows[1]["sample_rate"] == 44100 and rows[1]["duration_ms"] == m["duration_ms"]
     assert rows[2]["container"] == "mp3" and rows[2]["status"] == "ok"
+
+
+def test_mp4_box_walk_metadata_exact(spark):
+    """ISO-BMFF metadata walk: dims from the first video track's tkhd
+    (both 16.16 fixed-point layouts, v0/v1 mvhd), duration from
+    timescale math, a track census, and the boundary split (moov-less
+    stream -> no_codec; junk -> error). Frame extraction stays behind
+    the demuxer boundary while metadata flows."""
+    from win64_local_ocr_tool_spark.kernels.mp4meta import (
+        encode_mp4,
+        parse_mp4_meta,
+    )
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_frame_sample,
+        media_metadata,
+        sniff_container,
+    )
+
+    p = encode_mp4(width=1280, height=720, duration_ms=90_000)
+    m = parse_mp4_meta(p)
+    assert (m["width"], m["height"], m["duration_ms"]) == (1280, 720, 90_000)
+    assert m["n_tracks"] == 2 and m["track_kinds"] == ["soun", "vide"]
+    v1 = parse_mp4_meta(
+        encode_mp4(width=96, height=54, duration_ms=777, mvhd_v1=True,
+                   audio_track=False)
+    )
+    assert (v1["width"], v1["height"], v1["duration_ms"]) == (96, 54, 777)
+    # moov-less (streaming-shaped) -> real-demuxer boundary
+    import struct as _struct
+
+    bare = _struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    bare += _struct.pack(">I", 24) + b"mdat" + bytes(16)
+    with pytest.raises(NotImplementedError):
+        parse_mp4_meta(bare)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00" * 40)
+    # malformed nesting never hangs: fuzz box sizes
+    import random as _random
+
+    rng = _random.Random(9)
+    for _ in range(200):
+        q = bytearray(p)
+        for _f in range(rng.randint(1, 5)):
+            q[rng.randrange(len(q))] = rng.randrange(256)
+        try:
+            parse_mp4_meta(bytes(q[: rng.randrange(8, len(q))]))
+        except (ValueError, NotImplementedError):
+            pass
+
+    assert sniff_container(p) == "mp4"
+    df = spark.createDataFrame(
+        [(1, p)], schema="media_id long, payload binary"
+    )
+    row = media_metadata(df).collect()[0]
+    assert (row["container"], row["kind"], row["status"]) == (
+        "mp4", "video", "ok")
+    assert (row["width"], row["height"], row["duration_ms"]) == (
+        1280, 720, 90_000)
+    assert row["n_channels"] == 2  # track census in the channel slot
+    fr = media_frame_sample(df).collect()[0]
+    assert fr["status"] == "no_codec"  # frames = demuxer territory

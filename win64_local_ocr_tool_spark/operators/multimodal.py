@@ -101,6 +101,10 @@ def sniff_container(payload: bytes) -> str:
 
         if _parse_frame_header(*payload[:4]) is not None:
             return "mp3"
+    from ..kernels.mp4meta import sniff_mp4
+
+    if sniff_mp4(payload):
+        return "mp4"
     return "unknown"
 
 
@@ -404,6 +408,24 @@ def media_metadata(media: DataFrame) -> DataFrame:
                             n_channels=m["channels"],
                             duration_ms=m["duration_ms"],
                         )
+                    elif container == "mp4":
+                        # ISO-BMFF box walk (kernels/mp4meta.py):
+                        # video rows get dims + duration + the track
+                        # census count; sample data never touched
+                        from ..kernels.mp4meta import parse_mp4_meta
+
+                        row["kind"] = "video"
+                        m = parse_mp4_meta(payload)
+                        row.update(
+                            width=m["width"],
+                            height=m["height"],
+                            duration_ms=m["duration_ms"],
+                            n_channels=m["n_tracks"],
+                        )
+                    elif container == "svid":
+                        row["kind"] = "video"
+                        w, h, nf = _parse_svid_header(payload)
+                        row.update(width=w, height=h, n_channels=nf)
                     else:
                         row["status"] = "error"
                 except NotImplementedError:
@@ -564,13 +586,26 @@ def media_frame_sample(video: DataFrame, every_k: int = 2) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
                 try:
-                    if sniff_container(payload) != "svid":
+                    cont = sniff_container(payload)
+                    if cont == "mp4":
+                        # a REAL video container whose frame extraction
+                        # needs a demuxer (the ffmpeg swap seam) — typed
+                        # no_codec, not error (metadata still flows via
+                        # media_metadata/parse_mp4_meta)
+                        raise NotImplementedError("mp4 frames need ffmpeg")
+                    if cont != "svid":
                         raise ValueError("not a video container")
                     _w, _h, nf = _parse_svid_header(payload)
                     frames = [
                         (f, _svid_frame(payload, f))
                         for f in range(0, nf, every_k)
                     ]
+                except NotImplementedError:
+                    rows.append(
+                        {"media_id": int(mid), "frame_id": -1,
+                         "frame": None, "status": "no_codec"}
+                    )
+                    continue
                 except Exception:
                     # truncated/malformed magic-bearing payloads -> one
                     # error row, never a task failure
@@ -739,6 +774,18 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                         )
                 elif i % 11 == 5:
                     payload = b"\x00garbage" + bytes([i % 256] * 16)
+                elif i % 31 == 7:
+                    # real ISO-BMFF rows (metadata-only video boundary)
+                    from ..kernels.mp4meta import encode_mp4
+
+                    payload = encode_mp4(
+                        width=320 + (i % 5) * 160,
+                        height=180 + (i % 5) * 90,
+                        duration_ms=1000 + i * 37,
+                        audio_track=bool(i % 2),
+                        mvhd_v1=bool(i % 3 == 0),
+                        seed=seed + i,
+                    )
                 else:
                     payload = render_simg(
                         64 + (i % 16) * 8, 48 + (i % 9) * 16, 3 if i % 2 else 1,
