@@ -601,3 +601,44 @@ def test_streaming_neardup_epoch_split_invariance(spark, tmp_path, n_epochs):
     assert labels <= kept
     for r in comp_rows:
         assert r["component"] <= r["doc_id"]
+
+
+def test_stream_neardup_cli_smoke(spark, tmp_path):
+    """The spark-submit surface for the near-dup upsert: land two
+    increments, run the CLI per increment, assert the drop count
+    equals the batch twin's."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from win64_local_ocr_tool_spark.operators.textops import (
+        dedup_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pdf = docs.select("doc_id", "text", "lang", "source", "n_chars").toPandas()
+    order = np.random.default_rng(7).permutation(len(pdf))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d_in, work, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "work"), str(tmp_path / "ckpt")
+    )
+    out = None
+    for k, chunk in enumerate(np.array_split(order, 2)):
+        _land(pdf.iloc[chunk].reset_index(drop=True), d_in, f"e{k}.parquet")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "win64_local_ocr_tool_spark.jobs",
+                "stream-neardup", "--input", d_in, "--workdir", work,
+                "--checkpoint", ckpt, "--master", "local[4]",
+            ],
+            capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+    comp = dedup_components(spark, sf)
+    want_drops = comp.filter("doc_id <> component").count()
+    assert out["n_near_dup_drops"] == want_drops > 0

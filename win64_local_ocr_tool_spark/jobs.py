@@ -6,7 +6,8 @@ resume), ``curate`` (one-pass training-corpus materialization),
 ``curate-staged`` (same chain as checkpointed stage tables with
 lineage commit markers + stage-granular --resume), ``pipeline``
 (crawl -> extraction -> curation as one job), ``stream`` (incremental
-Structured-Streaming ingest).
+Structured-Streaming ingest), ``stream-neardup`` (incremental near-dup
+dedup: the foreachBatch LSH upsert over arriving documents).
 
 Usage (cluster):
 
@@ -111,6 +112,19 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--lineage", default=None)
     st.add_argument("--max-files-per-trigger", type=int, default=None)
     st.add_argument("--master", default=None)
+
+    nd = sub.add_parser(
+        "stream-neardup",
+        help="incremental NEAR-dup dedup over arriving document files "
+             "(foreachBatch LSH upsert; kept set equals the batch "
+             "dedup under any arrival split — rerun per increment)",
+    )
+    nd.add_argument("--input", required=True,
+                    help="directory where documents parquet files land")
+    nd.add_argument("--workdir", required=True,
+                    help="bucket/edge/component state lands here")
+    nd.add_argument("--checkpoint", required=True)
+    nd.add_argument("--master", default=None)
     return p
 
 
@@ -206,6 +220,36 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = read_stream_output(spark, args.output).count()
             print(json.dumps({"out_dir": args.output, "total_rows": n}))
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "stream-neardup":
+        from pyspark.sql import functions as F
+
+        from .streaming.neardup import (
+            drain_dedup_near,
+            near_dedup_components,
+        )
+
+        spark = get_spark("stream-neardup-job", master=args.master)
+        try:
+            drain_dedup_near(
+                spark, args.input, args.workdir, args.checkpoint
+            )
+            comps = near_dedup_components(spark, args.workdir)
+            n_drop = (
+                0
+                if comps is None
+                else comps.filter(
+                    F.col("doc_id") != F.col("component")
+                ).count()
+            )
+            print(
+                json.dumps(
+                    {"work_dir": args.workdir, "n_near_dup_drops": n_drop}
+                )
+            )
             return 0
         finally:
             spark.stop()
