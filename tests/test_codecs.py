@@ -1155,3 +1155,44 @@ def test_mp4_box_walk_metadata_exact(spark):
     assert row["n_channels"] == 2  # track census in the channel slot
     fr = media_frame_sample(df).collect()[0]
     assert fr["status"] == "no_codec"  # frames = demuxer territory
+
+
+def test_flac_streaminfo_metadata(spark):
+    """FLAC STREAMINFO walk: exact bit-field unpacking (20-bit rate,
+    3-bit channels, 5-bit depth, 36-bit sample count), duration math,
+    and the boundary split; media_metadata emits populated audio rows."""
+    from win64_local_ocr_tool_spark.kernels.mp3meta import (
+        encode_flac_streaminfo,
+        parse_flac_meta,
+    )
+    from win64_local_ocr_tool_spark.operators.multimodal import (
+        media_metadata,
+        sniff_container,
+    )
+
+    p = encode_flac_streaminfo(
+        sample_rate=48000, channels=2, bits_per_sample=24,
+        n_samples=4_800_000,
+    )
+    m = parse_flac_meta(p)
+    assert m == {
+        "sample_rate": 48000, "channels": 2, "bits_per_sample": 24,
+        "n_samples": 4_800_000, "duration_ms": 100_000,
+    }
+    # >32-bit sample count exercises the 36-bit field split
+    big = parse_flac_meta(
+        encode_flac_streaminfo(n_samples=(3 << 32) + 5, sample_rate=44100)
+    )
+    assert big["n_samples"] == (3 << 32) + 5
+    with pytest.raises(ValueError):
+        parse_flac_meta(b"fLaC" + bytes(3))  # truncated
+    with pytest.raises(ValueError):
+        parse_flac_meta(b"OggS" + bytes(30))  # wrong magic
+    assert sniff_container(p) == "flac"
+    row = media_metadata(
+        spark.createDataFrame([(1, p)], "media_id long, payload binary")
+    ).collect()[0]
+    assert (row["container"], row["kind"], row["status"]) == (
+        "flac", "audio", "ok")
+    assert (row["sample_rate"], row["n_channels"], row["duration_ms"]) == (
+        48000, 2, 100_000)

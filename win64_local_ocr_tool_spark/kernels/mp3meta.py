@@ -309,3 +309,74 @@ def encode_adts_frames(
             out += bytes((0, 0))
         out += bytes((seed * 17 + i * 3 + j) % 256 for j in range(body_bytes))
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# FLAC — lossless audio: STREAMINFO is mandatory and first (metadata-only)
+# --------------------------------------------------------------------------
+
+
+def parse_flac_meta(payload: bytes) -> dict:
+    """STREAMINFO walk (the FLAC format spec mandates it as the first
+    metadata block): {sample_rate, channels, bits_per_sample, n_samples,
+    duration_ms}. Full decode (rice-coded LPC residuals) is a real
+    codec's job; malformed -> ValueError."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    off = 4
+    while off + 4 <= len(payload):
+        btype = payload[off] & 0x7F
+        last = bool(payload[off] & 0x80)
+        blen = int.from_bytes(payload[off + 1: off + 4], "big")
+        body = off + 4
+        if btype == 0:
+            if blen < 34 or body + 34 > len(payload):
+                raise ValueError("truncated STREAMINFO")
+            b = payload[body: body + 34]
+            sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+            channels = ((b[12] >> 1) & 7) + 1
+            bps = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+            n_samples = ((b[13] & 0xF) << 32) | int.from_bytes(
+                b[14:18], "big"
+            )
+            if sr == 0:
+                raise ValueError("STREAMINFO sample rate 0")
+            return {
+                "sample_rate": sr,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "n_samples": n_samples,
+                "duration_ms": n_samples * 1000 // sr,
+            }
+        off = body + blen
+        if last:
+            break
+    raise ValueError("no STREAMINFO block")
+
+
+def encode_flac_streaminfo(
+    *,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+    n_samples: int = 441_000,
+    seed: int = 1,
+) -> bytes:
+    """fLaC magic + a spec-valid STREAMINFO block + a dummy padding
+    block and fake frame bytes (the metadata-path fixture)."""
+    b = bytearray(34)
+    b[0:2] = (4096).to_bytes(2, "big")  # min block size
+    b[2:4] = (4096).to_bytes(2, "big")
+    b[10] = (sample_rate >> 12) & 0xFF
+    b[11] = (sample_rate >> 4) & 0xFF
+    b[12] = (
+        ((sample_rate & 0xF) << 4)
+        | (((channels - 1) & 7) << 1)
+        | (((bits_per_sample - 1) >> 4) & 1)
+    )
+    b[13] = (((bits_per_sample - 1) & 0xF) << 4) | ((n_samples >> 32) & 0xF)
+    b[14:18] = (n_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    info = bytes([0]) + (34).to_bytes(3, "big") + bytes(b)
+    pad = bytes([0x81]) + (8).to_bytes(3, "big") + bytes(8)  # last block
+    frames = bytes((seed + i) % 256 for i in range(64))
+    return b"fLaC" + info + pad + frames

@@ -84,6 +84,8 @@ def sniff_container(payload: bytes) -> str:
     # and JPEG's FF D8 fails the sync's third F). Free-format headers
     # sniff as mp3 too — the parser raises NotImplementedError there
     # (-> no_codec), which is the right classification for them.
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 7:
@@ -386,6 +388,16 @@ def media_metadata(media: DataFrame) -> DataFrame:
                         sr, n = _decode_audio(payload, container)
                         row.update(
                             sample_rate=sr, duration_ms=n * 1000 // max(sr, 1)
+                        )
+                    elif container == "flac":
+                        from ..kernels.mp3meta import parse_flac_meta
+
+                        row["kind"] = "audio"
+                        m = parse_flac_meta(payload)
+                        row.update(
+                            sample_rate=m["sample_rate"],
+                            n_channels=m["channels"],
+                            duration_ms=m["duration_ms"],
                         )
                     elif container in ("mp3", "aac"):
                         # metadata-only boundary (kernels/mp3meta.py):
@@ -739,7 +751,18 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
                             3 if i % 2 else 4, seed + i,
                         )
                 elif i % 7 == 3:
-                    if i % 21 == 10:
+                    if i % 63 == 17:
+                        # real FLAC STREAMINFO rows (metadata-only)
+                        from ..kernels.mp3meta import encode_flac_streaminfo
+
+                        payload = encode_flac_streaminfo(
+                            sample_rate=8000 * (1 + i % 5),
+                            channels=1 + i % 2,
+                            bits_per_sample=16 + 8 * (i % 2),
+                            n_samples=10_000 + i * 997,
+                            seed=seed + i,
+                        )
+                    elif i % 21 == 10:
                         # real AAC-ADTS frame rows (metadata-only)
                         from ..kernels.mp3meta import encode_adts_frames
 
